@@ -1,0 +1,79 @@
+"""Headline benchmark: Sintel-resolution RAFT inference throughput on one TPU chip.
+
+Metric (BASELINE.json): Sintel 1024x436 flow pairs/sec/chip at 32 GRU iterations,
+RAFT standard model, test mode (flow_low + convex-upsampled flow_up).
+
+vs_baseline is measured against an assumed A100 reference of 5.0 pairs/s for the
+full RAFT model at 32 iterations and 1024x440 (RAFT paper reports 10 fps on a
+1080Ti at 1088x436 with ~12 iters; A100 is ~3x a 1080Ti, and 32 iters is ~2.4x the
+12-iter cost -> ~12.5 fps at 12 iters, ~5 fps at 32 iters). The target in
+BASELINE.json is >=2x A100, i.e. vs_baseline >= 2.0.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "default")
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_PAIRS_PER_SEC = 5.0
+
+
+def main():
+    from raft_optical_flow_tpu.models import RAFT, RAFTConfig
+    from raft_optical_flow_tpu.ops.padding import InputPadder
+
+    # bf16 compute for the conv/GRU stacks; correlation stays fp32 (reference keeps
+    # corr in fp32 too, core/raft.py:181-182).
+    config = RAFTConfig(small=False, compute_dtype=jnp.bfloat16)
+    model = RAFT(config)
+
+    H, W = 436, 1024
+    padder = InputPadder((1, H, W, 3), mode="sintel")
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    img1, img2 = padder.pad(img, img)
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    img1 = jax.random.uniform(k1, img1.shape, jnp.float32, 0, 255)
+    img2 = jax.random.uniform(k2, img2.shape, jnp.float32, 0, 255)
+
+    variables = model.init(jax.random.PRNGKey(0), img1[:, :64, :64], img1[:, :64, :64],
+                           iters=1, test_mode=True)
+
+    @jax.jit
+    def fwd(variables, a, b):
+        return model.apply(variables, a, b, iters=32, test_mode=True)
+
+    # compile + warmup
+    out = fwd(variables, img1, img2)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(variables, img1, img2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sintel_1024x436_pairs_per_sec_per_chip_32iters",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Device mesh construction and sharding helpers.
+
+Design (SURVEY.md §2.7): the reference's only parallelism is data parallelism
+(`nn.DataParallel` over 2 GPUs). TPU-native equivalent: a 1-D (or 2-D ici x dcn)
+mesh; the batch dimension of inputs is sharded over 'data', parameters are
+replicated, and XLA inserts the gradient psum over ICI automatically when a jitted
+loss of sharded inputs is differentiated wrt replicated params.
+
+A second, optional 'space' axis supports spatial sharding of the correlation volume's
+query-pixel axis for very large frames (the memory axis the reference attacks with
+alt_cuda_corr instead).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first n_devices devices.
+
+    With one axis name, the mesh is 1-D over all (or n) devices. `shape` allows
+    multi-axis meshes, e.g. axis_names=('data', 'space'), shape=(4, 2).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a pytree of [N, ...] arrays with N sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
