@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: windowed bilinear lookup over a materialized correlation pyramid.
+
+Semantics parity: `core/corr.py:56-94` (CorrBlock.__call__) — for each query pixel q
+and pyramid level l, bilinearly sample a (2r+1)^2 window of corr_l[q] centered at
+coords(q)/2^l, zero for out-of-bounds taps, channel order k = a*(2r+1)+b for offset
+(dx, dy) = (a-r, b-r).
+
+Kernel design — *separable selector matmuls*, not gathers:
+
+Bilinear window sampling factorizes: the weight of integer tap (x, y) for window
+position (a, b) at center c is tri(x - (cx - r + a)) * tri(y - (cy - r + b)) with
+tri(t) = max(0, 1 - |t|). So the whole window is
+
+    win[q, a, b] = X[q]^T · corr[q] · Y[q],   X[q][w, a] = tri(w - (cx_q - r + a)),
+                                              Y[q][h, b] = tri(h - (cy_q - r + b)),
+
+two batched matmuls per level, vectorized over every query in the tile — MXU work
+instead of per-query dynamic addressing (which Mosaic supports poorly). Taps outside
+[0, W-1] x [0, H-1] never appear as rows of X/Y, which reproduces grid_sample's
+zero padding exactly. The selector matrices are built from broadcasted_iota on the
+VPU and live only in VMEM/registers — XLA would materialize them ([B, Q, H, K]
+~14 MB/level at Sintel size) which is why this is a Pallas kernel and not an einsum.
+
+Grid (B, Q/QT); one pallas_call per pyramid level (static shapes per level). Runs in
+interpret mode automatically on CPU so tests / the multi-chip dry run share the path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _tri_selector(centers, dim: int, radius: int):
+    """Selector stack S[q, d, a] = tri(d - (centers[q] - r + a)).
+
+    centers: [QT] fractional window centers along one axis, level units.
+    Returns [QT, dim, 2r+1] fp32.
+    """
+    qt = centers.shape[0]
+    K = 2 * radius + 1
+    d = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 1).astype(jnp.float32)
+    a = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 2).astype(jnp.float32)
+    t = d - (centers[:, None, None] - float(radius) + a)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
+    """One grid step: QT queries of one batch element at one pyramid level.
+
+    coords_ref: VMEM [1, QT, 2] level-scaled (x, y) centers.
+    corr_ref:   VMEM [1, QT, Hl, Wl] correlation rows for these queries.
+    out_ref:    VMEM [1, QT, (2r+1), (2r+1)] window, [dx, dy] order.
+    """
+    Hl, Wl = corr_ref.shape[2], corr_ref.shape[3]
+    corr = corr_ref[0]
+    cx = coords_ref[0, :, 0]
+    cy = coords_ref[0, :, 1]
+
+    X = _tri_selector(cx, Wl, radius)  # [QT, Wl, K]
+    Y = _tri_selector(cy, Hl, radius)  # [QT, Hl, K]
+
+    # u[q, a, h] = sum_w X[q, w, a] * corr[q, h, w]
+    u = jax.lax.dot_general(
+        X, corr,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # win[q, a, b] = sum_h u[q, a, h] * Y[q, h, b]  -> dx-major, reference order
+    win = jax.lax.dot_general(
+        u, Y,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = win
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "qt", "interpret"))
+def _lookup_level(corr_l, coords_l, radius: int, qt: int, interpret: bool):
+    """corr_l: [B, Q, Hl, Wl] fp32; coords_l: [B, Q, 2] level-scaled. -> [B, Q, K^2]."""
+    B, Q, Hl, Wl = corr_l.shape
+    K = 2 * radius + 1
+
+    pad_q = (-Q) % qt
+    if pad_q:
+        corr_l = jnp.pad(corr_l, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        coords_l = jnp.pad(coords_l, ((0, 0), (0, pad_q), (0, 0)))
+    Qp = Q + pad_q
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_level_kernel, radius=radius),
+        grid=(B, Qp // qt),
+        in_specs=[
+            pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
+            pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
+        interpret=interpret,
+    )(coords_l, corr_l)
+    return out[:, :Q].reshape(B, Q, K * K)
+
+
+def corr_pyramid_lookup_pallas(
+    pyramid: Sequence[jax.Array],
+    coords: jax.Array,
+    radius: int,
+    qt: int = 128,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in Pallas replacement for `ops.corr.corr_pyramid_lookup`.
+
+    pyramid: tuple of [B, Q, Hl, Wl] fp32 volumes (level 0 first).
+    coords: [B, h, w, 2] level-0 pixel coords (x, y), Q = h*w row-major.
+    Returns [B, h, w, L*(2r+1)^2], levels concatenated coarse-last.
+    """
+    if interpret is None:
+        if _interpret_default():
+            # On CPU (tests, multi-chip dry runs) the XLA reference path is both
+            # faster than the Pallas interpreter and parity-tested against this
+            # kernel (tests/test_kernels.py), so delegate instead of interpreting.
+            from raft_optical_flow_tpu.ops.corr import corr_pyramid_lookup
+
+            return corr_pyramid_lookup(pyramid, coords, radius)
+        interpret = False
+    B, h, w, _ = coords.shape
+    coords_flat = coords.reshape(B, h * w, 2).astype(jnp.float32)
+
+    outs = []
+    for lvl, corr_l in enumerate(pyramid):
+        coords_l = coords_flat / jnp.float32(2.0**lvl)
+        outs.append(
+            _lookup_level(corr_l.astype(jnp.float32), coords_l, radius, qt, interpret)
+        )
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(B, h, w, -1)

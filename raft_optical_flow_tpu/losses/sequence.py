@@ -71,11 +71,14 @@ def multiscale_sequence_loss(
     weights: Sequence[float] = (0.32, 0.08, 0.02, 0.01, 0.005),
     max_flow: float = MAX_FLOW,
 ) -> jax.Array:
-    """Multi-scale EPE-style loss for coarse-to-fine models (LiteFlowNet3 family).
+    """Multi-scale L1 loss for coarse-to-fine models (LiteFlowNet3 family).
 
-    flow_preds: finest-first list of [N, h_i, w_i, 2] at descending resolutions.
-    GT is average-pooled and value-scaled to each level; per-level L2 norm error is
-    averaged over valid pixels (`train_liteflownet3.py:105-163`).
+    Parity: `train_liteflownet3.py:105-163` with the driver's call convention
+    (`:206-252`): flow_preds is FINEST-FIRST — [full-res final, 1/4, 1/8, 1/16, 1/32]
+    where the pyramid levels have been multiplied by div_flow by the caller. Per
+    level: GT bilinearly resized (half-pixel) and value-scaled by the single factor
+    w_i/W (the reference scales both components by the width ratio), valid mask
+    nearest-resized, elementwise L1 summed and divided by (valid pixel count + 1e-8).
     """
     from raft_optical_flow_tpu.ops.grid import resize_bilinear
 
@@ -84,15 +87,19 @@ def multiscale_sequence_loss(
     N, H, W, _ = flow_gt.shape
 
     total = 0.0
-    for w_i, pred in zip(weights, flow_preds):
+    for i, pred in enumerate(flow_preds):
+        w_i = weights[i] if i < len(weights) else weights[-1]
         h, wd = pred.shape[1:3]
-        scale_x = wd / W
-        scale_y = h / H
-        gt_i = resize_bilinear(flow_gt, (h, wd)) * jnp.array(
-            [scale_x, scale_y], flow_gt.dtype
-        )
-        v_i = resize_bilinear(valid_f[..., None], (h, wd))
-        v_i = (v_i > 0.5).astype(flow_gt.dtype)
-        err = jnp.sqrt(jnp.sum((pred - gt_i) ** 2, axis=-1, keepdims=True) + 1e-16)
-        total = total + w_i * jnp.sum(err * v_i) / jnp.maximum(jnp.sum(v_i), 1.0)
+        if (h, wd) != (H, W):
+            scale_factor = wd / W
+            gt_i = resize_bilinear(flow_gt, (h, wd)) * jnp.asarray(
+                scale_factor, flow_gt.dtype
+            )
+            v_i = jax.image.resize(valid_f[..., None], (N, h, wd, 1), method="nearest")
+            v_i = (v_i > 0.5).astype(flow_gt.dtype)
+        else:
+            gt_i = flow_gt
+            v_i = valid_f[..., None]
+        l1 = jnp.abs(pred - gt_i)
+        total = total + w_i * jnp.sum(v_i * l1) / (jnp.sum(v_i) + 1e-8)
     return total

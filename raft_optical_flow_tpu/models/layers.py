@@ -12,11 +12,37 @@ Conventions used across the model zoo:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+import contextlib
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Mixed-precision policy: a scope (set by the top-level model from its config) that
+# all conv/norm constructors read as their computation dtype. Params stay fp32
+# (param_dtype default); activations/matmuls run in the scoped dtype — the TPU
+# equivalent of the reference's autocast regions (`core/raft.py:12-22`).
+_COMPUTE_DTYPE: Optional[Any] = None
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype: Optional[Any]):
+    """Set the computation dtype for conv/norm layers constructed in this scope.
+
+    Pass None (or float32) for full-precision; jnp.bfloat16 for mixed precision.
+    """
+    global _COMPUTE_DTYPE
+    prev = _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = None if dtype in (None, jnp.float32) else dtype
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE = prev
+
+
+def scoped_dtype(dtype: Optional[Any] = None) -> Optional[Any]:
+    return dtype if dtype is not None else _COMPUTE_DTYPE
 
 
 def torch_pad(k: Union[int, Sequence[int]]):
@@ -52,9 +78,59 @@ def conv(
         feature_group_count=groups,
         kernel_dilation=_as_pair(dilation),
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-        dtype=dtype,
+        dtype=scoped_dtype(dtype),
         name=name,
     )
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with exact torch semantics, including `groups`.
+
+    Implemented as input-dilated conv: out = conv(dilate_s(x), flip(W), pad=k-1-p),
+    which is the definition of the transposed convolution. Output size
+    (H-1)*s - 2p + k matches torch.
+
+    `kernel` layout is (kh, kw, out_per_group, in) — i.e. the torch layout
+    (in, out/g, kh, kw) with spatial dims moved in front (what
+    utils/torch_convert.py produces) — so converted reference weights load as-is.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 4
+    stride: Union[int, Sequence[int]] = 2
+    padding: int = 1
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _as_pair(self.kernel_size)
+        sh, sw = _as_pair(self.stride)
+        p = self.padding
+        g = self.groups
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (kh, kw, self.features // g, in_ch),
+        )
+        # (kh, kw, out/g, in) -> HWIO (kh, kw, in/g, out), spatially flipped
+        w = kernel.reshape(kh, kw, self.features // g, g, in_ch // g)
+        w = w.transpose(0, 1, 4, 3, 2).reshape(kh, kw, in_ch // g, self.features)
+        w = w[::-1, ::-1]
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
 
 
 def deconv(
@@ -65,20 +141,16 @@ def deconv(
     *,
     name: str,
     use_bias: bool = True,
-) -> nn.ConvTranspose:
-    """torch-geometry ConvTranspose2d: out = (H-1)*s - 2p + k.
-
-    `transpose_kernel=True` gives the gradient-of-conv formulation torch uses, so
-    converted weights ((in, out, kh, kw) -> (kh, kw, out, in)) apply unchanged.
-    """
-    p = padding
-    return nn.ConvTranspose(
+    groups: int = 1,
+) -> TorchConvTranspose:
+    """torch-geometry ConvTranspose2d: out = (H-1)*s - 2p + k."""
+    return TorchConvTranspose(
         features=features,
-        kernel_size=_as_pair(kernel_size),
-        strides=_as_pair(stride),
-        padding=((p, p), (p, p)),
+        kernel_size=kernel_size,
+        stride=stride,
+        padding=padding,
         use_bias=use_bias,
-        transpose_kernel=True,
+        groups=groups,
         name=name,
     )
 
@@ -105,10 +177,11 @@ def apply_norm(
     """
     if norm_fn == "group":
         g = num_groups if num_groups is not None else features // 8
-        return nn.GroupNorm(num_groups=g, epsilon=1e-5, name=name)(x)
+        return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=scoped_dtype(), name=name)(x)
     if norm_fn == "batch":
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=scoped_dtype(), name=name,
         )(x)
     if norm_fn == "instance":
         return instance_norm(x)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from raft_optical_flow_tpu.models import layers
 from raft_optical_flow_tpu.models.extractor import BasicEncoder, SmallEncoder
 from raft_optical_flow_tpu.models.update import BasicUpdateBlock, SmallUpdateBlock
 from raft_optical_flow_tpu.ops.corr import (
@@ -47,7 +48,7 @@ class RAFTConfig:
     dropout: float = 0.0
     alternate_corr: bool = False
     corr_levels: int = 4
-    corr_impl: str = "xla"  # 'xla' | 'pallas'
+    corr_impl: str = "pallas"  # 'pallas' (TPU kernel; XLA fallback on CPU) | 'xla'
     compute_dtype: Any = jnp.float32  # bf16 for mixed precision; corr stays fp32
 
     @property
@@ -63,44 +64,19 @@ class RAFTConfig:
         return 64 if self.small else 128
 
 
-def _ondemand_corr_lookup(fmap1, fmap2_pyramid, coords, radius, corr_impl="xla"):
+def _ondemand_corr_lookup(fmap1, fmap2_pyramid, coords, radius, corr_impl="pallas"):
     """On-demand multi-level correlation: alt_cuda_corr equivalent.
 
     Computes <fmap1[q], fmap2_l[coords_l(q) + offset]> for the (2r+1)^2 window without
     materializing the all-pairs volume (`core/corr.py:130-198`). Channel order is
-    dx-major: alt_cuda_corr writes output channel (iy + rd*ix)
-    (`alt_cuda_corr/correlation_kernel.cu:92-95`), the same order CorrBlock produces —
-    so both paths are interchangeable for trained weights. Bilinear interpolation of
-    correlation values (the CUDA kernel's 4-tap scatter) equals correlating against
-    bilinearly-interpolated fmap2, since interpolation is linear and channel-independent.
+    dx-major, the same order CorrBlock produces — so both paths are interchangeable
+    for trained weights. Implemented by the blockwise-recompute module in
+    kernels/corr_ondemand.py (flash-style query tiling, custom VJP).
     """
-    from raft_optical_flow_tpu.ops.grid import bilinear_sampler
+    del corr_impl  # one implementation; it is XLA-expressible and fast on both backends
+    from raft_optical_flow_tpu.kernels.corr_ondemand import ondemand_corr_pyramid
 
-    if corr_impl == "pallas":
-        from raft_optical_flow_tpu.kernels.corr_ondemand import ondemand_corr_pyramid
-
-        return ondemand_corr_pyramid(fmap1, fmap2_pyramid, coords, radius)
-
-    B, h, w, C = fmap1.shape
-    r = radius
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    ox = jnp.repeat(d, 2 * r + 1)  # dx-major
-    oy = jnp.tile(d, 2 * r + 1)
-    K = (2 * r + 1) ** 2
-
-    outs = []
-    for lvl, f2 in enumerate(fmap2_pyramid):
-        c = coords / (2.0**lvl)
-        pts = jnp.stack(
-            [c[..., 0:1] + ox, c[..., 1:2] + oy], axis=-1
-        )  # [B, h, w, K, 2]
-        sampled = bilinear_sampler(f2, pts, padding="zeros")  # [B, h, w, K, C]
-        corr = jnp.einsum(
-            "bhwc,bhwkc->bhwk", fmap1, sampled, precision=jax.lax.Precision.HIGHEST
-        )
-        outs.append(corr)
-    out = jnp.concatenate(outs, axis=-1)
-    return out / jnp.sqrt(jnp.float32(C))
+    return ondemand_corr_pyramid(fmap1, fmap2_pyramid, coords, radius)
 
 
 class RAFTIteration(nn.Module):
@@ -126,6 +102,12 @@ class RAFTIteration(nn.Module):
             corr = _ondemand_corr_lookup(
                 fmap1, f2_pyramid, coords1, cfg.corr_radius, cfg.corr_impl
             )
+        elif cfg.corr_impl == "pallas":
+            from raft_optical_flow_tpu.kernels.corr_lookup import (
+                corr_pyramid_lookup_pallas,
+            )
+
+            corr = corr_pyramid_lookup_pallas(corr_state, coords1, cfg.corr_radius)
         else:
             corr = corr_pyramid_lookup(corr_state, coords1, cfg.corr_radius)
 
@@ -181,6 +163,17 @@ class RAFT(nn.Module):
         train: bool = False,
         freeze_bn: bool = True,
     ):
+        cfg = self.config
+        N, H, W, _ = image1.shape
+        h, w = H // 8, W // 8
+        hdim, cdim = cfg.hidden_dim, cfg.context_dim
+        dtype = cfg.compute_dtype
+        with layers.compute_dtype_scope(dtype):
+            return self._forward(
+                image1, image2, iters, flow_init, test_mode, train, freeze_bn
+            )
+
+    def _forward(self, image1, image2, iters, flow_init, test_mode, train, freeze_bn):
         cfg = self.config
         N, H, W, _ = image1.shape
         h, w = H // 8, W // 8

@@ -20,7 +20,17 @@ from raft_optical_flow_tpu.ops.corr import (
     corr_pyramid_lookup,
     avg_pool2x2,
 )
-from raft_optical_flow_tpu.ops.warp import backward_warp, flow_to_warp, forward_splat_range_map
+from raft_optical_flow_tpu.ops.warp import (
+    backward_warp,
+    flow_to_warp,
+    forward_splat,
+    forward_splat_range_map,
+    warp_lfn3,
+)
+from raft_optical_flow_tpu.ops.spatial_corr import (
+    spatial_correlation_sample,
+    translated_spatial_correlation_sample,
+)
 
 __all__ = [
     "coords_grid",
@@ -37,5 +47,9 @@ __all__ = [
     "avg_pool2x2",
     "backward_warp",
     "flow_to_warp",
+    "forward_splat",
     "forward_splat_range_map",
+    "warp_lfn3",
+    "spatial_correlation_sample",
+    "translated_spatial_correlation_sample",
 ]

@@ -36,6 +36,22 @@ def backward_warp(
     return bilinear_sampler(img, coords, padding=padding, return_mask=return_mask)
 
 
+def warp_lfn3(x: jax.Array, flow: jax.Array, div_flow: float = 1.0) -> jax.Array:
+    """IRR-style backward warp with hard validity mask (`liteflownet3_warp.py:66-111`).
+
+    x: [N, H, W, C]; flow: [N, H, W, 2] (x, y), divided by div_flow before use.
+    grid_sample(align_corners=True, zeros padding), then multiplied by a binary mask
+    that is 1 only where the sampled all-ones image stays >= 1 — i.e. where every
+    bilinear tap is in bounds, which reduces to the closed box [0, W-1] x [0, H-1].
+    """
+    N, H, W, _ = x.shape
+    coords = coords_grid(N, H, W, dtype=flow.dtype) + flow / div_flow
+    warped = bilinear_sampler(x, coords, padding="zeros")
+    px, py = coords[..., 0], coords[..., 1]
+    mask = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+    return warped * mask[..., None].astype(warped.dtype)
+
+
 def forward_splat_range_map(flow: jax.Array) -> jax.Array:
     """Forward-warp occupancy map: how often each target pixel is hit by (grid + flow).
 

@@ -1,0 +1,99 @@
+"""Pallas kernel parity tests (interpret mode on the CPU mesh).
+
+Oracles are the XLA reference implementations in ops/corr.py and the sampling
+formulation in kernels/corr_ondemand.py, which themselves have torch-parity tests.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from raft_optical_flow_tpu.kernels.corr_lookup import corr_pyramid_lookup_pallas
+from raft_optical_flow_tpu.kernels.corr_ondemand import (
+    _ondemand_xla,
+    ondemand_corr_pyramid,
+)
+from raft_optical_flow_tpu.ops.corr import (
+    all_pairs_correlation,
+    avg_pool2x2,
+    build_corr_pyramid,
+    corr_pyramid_lookup,
+)
+
+
+def _make_inputs(seed=0, B=2, H=12, W=16, C=32, max_disp=4.0):
+    rng = np.random.RandomState(seed)
+    fmap1 = rng.randn(B, H, W, C).astype(np.float32)
+    fmap2 = rng.randn(B, H, W, C).astype(np.float32)
+    gy, gx = np.mgrid[0:H, 0:W]
+    coords = np.stack([gx, gy], axis=-1)[None].repeat(B, 0).astype(np.float32)
+    coords = coords + rng.uniform(-max_disp, max_disp, coords.shape).astype(np.float32)
+    return jnp.asarray(fmap1), jnp.asarray(fmap2), jnp.asarray(coords)
+
+
+def _f2_pyramid(fmap2, levels):
+    pyr = [fmap2]
+    for _ in range(levels - 1):
+        pyr.append(avg_pool2x2(pyr[-1].transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1))
+    return tuple(pyr)
+
+
+@pytest.mark.parametrize("radius", [3, 4])
+def test_pallas_lookup_matches_xla(radius):
+    fmap1, fmap2, coords = _make_inputs(seed=1)
+    pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 4)
+    ref = np.asarray(corr_pyramid_lookup(pyr, coords, radius))
+    ours = np.asarray(corr_pyramid_lookup_pallas(pyr, coords, radius, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_lookup_far_out_of_bounds():
+    """Windows fully outside the volume must be exactly zero (grid_sample zeros)."""
+    fmap1, fmap2, coords = _make_inputs(seed=2)
+    coords = coords + 100.0  # far outside every level
+    pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 4)
+    ref = np.asarray(corr_pyramid_lookup(pyr, coords, 4))
+    ours = np.asarray(corr_pyramid_lookup_pallas(pyr, coords, 4, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    assert np.all(ours == 0.0)
+
+
+@pytest.mark.parametrize("radius", [3, 4])
+def test_ondemand_matches_xla_sampling(radius):
+    fmap1, fmap2, coords = _make_inputs(seed=3)
+    pyr = _f2_pyramid(fmap2, 4)
+    ref = np.asarray(_ondemand_xla(fmap1, pyr, coords, radius))
+    ours = np.asarray(ondemand_corr_pyramid(fmap1, pyr, coords, radius, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ondemand_matches_materialized_pyramid():
+    """On-demand correlation == windowed lookup over the materialized volume."""
+    fmap1, fmap2, coords = _make_inputs(seed=4)
+    radius = 4
+    corr_pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 4)
+    ref = np.asarray(corr_pyramid_lookup(corr_pyr, coords, radius))
+    f2_pyr = _f2_pyramid(fmap2, 4)
+    ours = np.asarray(
+        ondemand_corr_pyramid(fmap1, f2_pyr, coords, radius, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ondemand_custom_vjp_matches_xla_grads():
+    fmap1, fmap2, coords = _make_inputs(seed=5, B=1, H=8, W=10, C=16)
+    pyr = _f2_pyramid(fmap2, 2)
+
+    def loss_pallas(f1, f2s):
+        out = ondemand_corr_pyramid(f1, f2s, coords, 3, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(f1, f2s):
+        out = _ondemand_xla(f1, f2s, coords, 3)
+        return jnp.sum(jnp.sin(out))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(fmap1, pyr)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(fmap1, pyr)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
