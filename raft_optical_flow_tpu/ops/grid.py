@@ -142,10 +142,17 @@ def resize_bilinear_align_corners(img: jax.Array, out_hw: tuple) -> jax.Array:
 
 
 def resize_bilinear(img: jax.Array, out_hw: tuple) -> jax.Array:
-    """Bilinear resize with half-pixel centers (torch align_corners=False)."""
+    """Bilinear resize with half-pixel centers (torch align_corners=False).
+
+    antialias=False: torch F.interpolate(mode='bilinear') never widens the filter
+    on downsampling, and models in this repo match that (e.g. `IFNET_m.py:123-146`
+    scale-pyramid downsamples).
+    """
     out_h, out_w = out_hw
     *lead, H, W, C = img.shape
-    return jax.image.resize(img, (*lead, out_h, out_w, C), method="bilinear")
+    return jax.image.resize(
+        img, (*lead, out_h, out_w, C), method="bilinear", antialias=False
+    )
 
 
 def upflow8(flow: jax.Array) -> jax.Array:

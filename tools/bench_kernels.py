@@ -15,14 +15,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+def _sync(out):
+    # block_until_ready does not reliably block through the axon tunnel; force a
+    # scalar to host instead.
+    return float(jnp.sum(jax.tree.leaves(out)[0]))
+
+
+def timeit(fn, *args, n=10):
+    _sync(fn(*args))
+    times = []
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
