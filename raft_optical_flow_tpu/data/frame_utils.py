@@ -18,7 +18,16 @@ FLO_MAGIC = 202021.25
 
 
 def read_flow(path: str) -> np.ndarray:
-    """Read a Middlebury .flo file -> [H, W, 2] float32."""
+    """Read a Middlebury .flo file -> [H, W, 2] float32.
+
+    Uses the native C++ decoder (data/native.py) when available; pure-numpy
+    fallback otherwise.
+    """
+    from raft_optical_flow_tpu.data import native
+
+    out = native.read_flow_native(path) if native.native_available() else None
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         magic = np.fromfile(f, np.float32, count=1)
         if magic.size == 0 or magic[0] != np.float32(FLO_MAGIC):
@@ -42,7 +51,15 @@ def write_flow(path: str, flow: np.ndarray) -> None:
 
 
 def read_pfm(path: str) -> np.ndarray:
-    """Read a .pfm file -> [H, W] or [H, W, 3] float array (top-down)."""
+    """Read a .pfm file -> [H, W] or [H, W, 3] float array (top-down).
+
+    Uses the native C++ decoder when available.
+    """
+    from raft_optical_flow_tpu.data import native
+
+    out = native.read_pfm_native(path) if native.native_available() else None
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -95,7 +112,12 @@ def read_disp_kitti(path: str) -> Tuple[np.ndarray, np.ndarray]:
 def read_gen(file_name: str):
     """Extension-dispatched reader (`core/utils/frame_utils.py:123-137`)."""
     ext = os.path.splitext(file_name)[-1].lower()
-    if ext in (".png", ".jpeg", ".ppm", ".jpg"):
+    if ext == ".ppm":
+        from raft_optical_flow_tpu.data import native
+
+        out = native.read_ppm_native(file_name) if native.native_available() else None
+        return out if out is not None else Image.open(file_name)
+    if ext in (".png", ".jpeg", ".jpg"):
         return Image.open(file_name)
     if ext in (".bin", ".raw"):
         return np.load(file_name)

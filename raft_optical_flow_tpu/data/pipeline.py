@@ -1,0 +1,140 @@
+"""Host input pipeline: shuffling, parallel decode/augment workers, device feed.
+
+Replaces the reference's `torch.utils.data.DataLoader(batch_size, shuffle=True,
+num_workers=4, drop_last=True)` (`core/datasets.py:324-325`) with a torch-free
+pipeline shaped for TPU feeding:
+
+  - Deterministic per-epoch shuffling and per-sample RNG derived from a single seed
+    (the reference seeds each torch worker once, `core/datasets.py:96-102`; here
+    every sample gets its own child Generator so results are independent of worker
+    scheduling).
+  - A thread pool decodes + augments samples (cv2/PIL release the GIL for the heavy
+    kernels; the native C++ decoders in data/native.py release it entirely).
+  - `prefetch_to_device` keeps N batches in flight as device arrays, optionally
+    sharded over a mesh 'data' axis — the per-host input split of the SPMD design.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    img1, img2, flow, valid = zip(*samples)
+    return {
+        "image1": np.stack(img1),
+        "image2": np.stack(img2),
+        "flow": np.stack(flow),
+        "valid": np.stack(valid),
+    }
+
+
+class FlowDataLoader:
+    """Iterable over batches of a FlowDataset.
+
+    Yields dict batches {image1, image2 [N,H,W,3] float32 0-255, flow [N,H,W,2],
+    valid [N,H,W]} indefinitely (epochs chained), like the reference's training
+    loop expects.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        seed: int = 1234,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
+        return idx
+
+    def _load_one(self, epoch: int, index: int):
+        rng = np.random.default_rng((self.seed, epoch, int(index)))
+        return self.dataset.__getitem__(int(index), rng=rng)
+
+    def epochs(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless batch iterator (epochs chained)."""
+        epoch = 0
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = collections.deque()
+            max_pending = self.prefetch_batches * self.batch_size
+
+            def index_stream():
+                e = 0
+                while True:
+                    for i in self._epoch_indices(e):
+                        yield e, i
+                    e += 1
+
+            stream = index_stream()
+            batch_futures = []
+            while True:
+                while len(pending) < max_pending + self.batch_size:
+                    e, i = next(stream)
+                    pending.append(pool.submit(self._load_one, e, i))
+                batch = [pending.popleft().result() for _ in range(self.batch_size)]
+                yield _collate(batch)
+
+    def __iter__(self):
+        return self.epochs()
+
+
+def prefetch_to_device(iterator, size: int = 2, mesh=None):
+    """Wrap a host batch iterator with an N-deep device prefetch queue.
+
+    If `mesh` is given, batches are sharded over its 'data' axis (per-host input
+    split); otherwise they are placed on the default device.
+    """
+    import jax
+
+    if mesh is not None:
+        from raft_optical_flow_tpu.parallel.mesh import shard_batch
+
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        put = lambda b: jax.tree.map(jax.device_put, b)  # noqa: E731
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

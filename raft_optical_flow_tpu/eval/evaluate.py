@@ -37,6 +37,31 @@ def make_raft_forward(config: RAFTConfig, variables, iters: int) -> Callable:
     return fwd
 
 
+def make_lfn3_forward(config, variables) -> Callable:
+    """LFN3 adapter to the (flow_low, flow_up) eval protocol.
+
+    The reference evaluator feeds images / 255 and reads outputs['flows']
+    (`evaluate_liteflownet3.py:128-193`); warm starts don't apply (flow_init is
+    accepted and ignored), and 'flow_low' is a 1/4-res bilinear downscale of the
+    final flow purely for API compatibility.
+    """
+    from raft_optical_flow_tpu.models.liteflownet3 import LiteFlowNet3
+    from raft_optical_flow_tpu.ops.grid import resize_bilinear
+
+    model = LiteFlowNet3(config)
+
+    @jax.jit
+    def fwd(image1, image2, flow_init=None):
+        del flow_init
+        images = jnp.stack([image1, image2], axis=1) / 255.0
+        flow = model.apply(variables, images)["flows"][:, 0]
+        H, W = flow.shape[1:3]
+        flow_low = resize_bilinear(flow, (H // 4, W // 4)) / 4.0
+        return flow_low, flow
+
+    return fwd
+
+
 def epe_stats(flow_pred: np.ndarray, flow_gt: np.ndarray) -> np.ndarray:
     """Per-pixel end-point error [H, W]."""
     return np.sqrt(np.sum((flow_pred - flow_gt) ** 2, axis=-1))

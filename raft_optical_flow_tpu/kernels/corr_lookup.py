@@ -84,8 +84,39 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
     out_ref[0] = win
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "qt", "interpret"))
-def _lookup_level(corr_l, coords_l, radius: int, qt: int, interpret: bool):
+def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, *, radius: int):
+    """Backward: d_corr[q, h, w] = sum_{a,b} Y[q,h,b] g[q,a,b] X[q,w,a].
+
+    coords_ref: VMEM [1, QT, 2]; g_ref: VMEM [1, QT, K, K] ([dx, dy] order);
+    dcorr_ref: VMEM [1, QT, Hl, Wl].
+    """
+    Hl, Wl = dcorr_ref.shape[2], dcorr_ref.shape[3]
+    g = g_ref[0]
+    cx = coords_ref[0, :, 0]
+    cy = coords_ref[0, :, 1]
+    X = _tri_selector(cx, Wl, radius)  # [QT, Wl, K]
+    Y = _tri_selector(cy, Hl, radius)  # [QT, Hl, K]
+
+    # t[q, h, a] = sum_b Y[q, h, b] * g[q, a, b]
+    t = jax.lax.dot_general(
+        Y, g,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # d[q, h, w] = sum_a t[q, h, a] * X[q, w, a]
+    dcorr_ref[0] = jax.lax.dot_general(
+        t, X,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
+    return _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret)
+
+
+def _lookup_level_fwd_impl(corr_l, coords_l, radius: int, qt: int, interpret: bool):
     """corr_l: [B, Q, Hl, Wl] fp32; coords_l: [B, Q, 2] level-scaled. -> [B, Q, K^2]."""
     B, Q, Hl, Wl = corr_l.shape
     K = 2 * radius + 1
@@ -108,6 +139,44 @@ def _lookup_level(corr_l, coords_l, radius: int, qt: int, interpret: bool):
         interpret=interpret,
     )(coords_l, corr_l)
     return out[:, :Q].reshape(B, Q, K * K)
+
+
+def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
+    out = _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret)
+    return out, coords_l
+
+
+def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, coords_l, g):
+    """Gradient wrt the correlation volume, as a Pallas kernel with the same
+    separable-selector structure. The coords gradient is zero: RAFT stop-gradients
+    coords1 before every lookup (`core/raft.py:216`), so no gradient would flow
+    through it anyway; this matches the on-demand path and the reference CUDA
+    kernel (which never computes a coords grad either)."""
+    B, Q = coords_l.shape[:2]
+    K = 2 * radius + 1
+    g = g.reshape(B, Q, K, K)
+
+    pad_q = (-Q) % qt
+    if pad_q:
+        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        coords_l = jnp.pad(coords_l, ((0, 0), (0, pad_q), (0, 0)))
+    Qp = Q + pad_q
+
+    dcorr = pl.pallas_call(
+        functools.partial(_lookup_level_bwd_kernel, radius=radius),
+        grid=(B, Qp // qt),
+        in_specs=[
+            pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
+            pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, Hl, Wl), jnp.float32),
+        interpret=interpret,
+    )(coords_l, g)
+    return (dcorr[:, :Q], jnp.zeros_like(coords_l[:, :Q]))
+
+
+_lookup_level.defvjp(_lookup_level_fwd, _lookup_level_bwd)
 
 
 def corr_pyramid_lookup_pallas(
@@ -138,8 +207,11 @@ def corr_pyramid_lookup_pallas(
     outs = []
     for lvl, corr_l in enumerate(pyramid):
         coords_l = coords_flat / jnp.float32(2.0**lvl)
+        Hl, Wl = corr_l.shape[2], corr_l.shape[3]
         outs.append(
-            _lookup_level(corr_l.astype(jnp.float32), coords_l, radius, qt, interpret)
+            _lookup_level(
+                corr_l.astype(jnp.float32), coords_l, radius, qt, interpret, Hl, Wl
+            )
         )
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(B, h, w, -1)

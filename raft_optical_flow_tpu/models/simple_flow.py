@@ -92,8 +92,11 @@ def correlation_layer(f1: jax.Array, f2: jax.Array, max_displacement: int = 4) -
     r = max_displacement
 
     def l2norm(f):
-        n = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
-        return f / jnp.maximum(n, 1e-12)
+        # clamp inside the sqrt: torch F.normalize clamps the norm, but in JAX
+        # sqrt'(0) = inf leaks a NaN through the clamp (0 * inf); all-zero
+        # post-ReLU feature vectors do occur at random init
+        sumsq = jnp.sum(f * f, axis=-1, keepdims=True)
+        return f / jnp.sqrt(jnp.maximum(sumsq, 1e-24))
 
     f1 = l2norm(f1)
     f2 = l2norm(f2)

@@ -1,0 +1,332 @@
+"""Trainers for the LiteFlowNet3 / SimpleFlowNet / IFNet families (sup + unsup).
+
+Parity targets:
+  - `train_liteflownet3.py:477-478` — Adam(lr, wd=1e-4) + StepLR(gamma 0.5); loss =
+    multiscale SequenceLoss on [final] + reversed(div_flow-scaled pyramid) (:206-252).
+  - `train_simple_flow.py:85-95,279` — AdamW + StepLR + grad clip 1.0;
+    SimpleFlowLoss (multi-scale EPE + edge-aware smoothness).
+  - `IFNET_train.py:88-95,256,288-299` — same optimizer family; supervised loss on
+    flow[..., 2:4] (the img1 -> img0 direction) via SimpleFlowLoss, or `--unsuper`
+    laploss on the warped-image cascade.
+  - `train_simple_flow_unsupervised.py` / `train_liteflownet3_unsupervised.py` —
+    bidirectional forward/backward model passes + multi-scale unsupervised loss.
+
+SPMD layout is identical to the RAFT trainer: batch sharded over the mesh 'data'
+axis, params replicated, gradient psum inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from raft_optical_flow_tpu.losses.laploss import laploss
+from raft_optical_flow_tpu.losses.sequence import multiscale_sequence_loss
+from raft_optical_flow_tpu.losses.simple_flow_loss import simple_flow_loss
+from raft_optical_flow_tpu.losses.unsupervised import unsupervised_loss
+from raft_optical_flow_tpu.models.ifnet import IFNet
+from raft_optical_flow_tpu.models.liteflownet3 import LFN3Config, LiteFlowNet3
+from raft_optical_flow_tpu.models.simple_flow import SimpleFlowConfig, SimpleFlowNet
+from raft_optical_flow_tpu.parallel.mesh import make_mesh, shard_batch
+from raft_optical_flow_tpu.train.trainer import MetricLogger, TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Adam/AdamW + StepLR, the reference's non-RAFT optimizer family."""
+
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    adamw: bool = True  # reference: AdamW for simple_flow/ifnet, Adam for lfn3
+    step_size: int = 10_000  # StepLR period in steps (reference steps per epoch)
+    lr_gamma: float = 0.5
+    clip: float = 1.0
+
+
+def make_step_optimizer(cfg: OptimConfig):
+    schedule = optax.exponential_decay(
+        cfg.lr, transition_steps=cfg.step_size, decay_rate=cfg.lr_gamma,
+        staircase=True,
+    )
+    if cfg.adamw:
+        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    else:
+        # torch Adam(weight_decay) is L2 regularization added to the gradient
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay), optax.adam(schedule)
+        )
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip), opt)
+    return tx, schedule
+
+
+def _variables(state: TrainState) -> Dict:
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+# ----------------------------------------------------------------- train steps
+
+
+def lfn3_train_step(state, batch, *, config: LFN3Config):
+    """Supervised LFN3 step. batch images are 0-255; model takes [0, 1]."""
+    model = LiteFlowNet3(config)
+    images = jnp.stack([batch["image1"], batch["image2"]], axis=1) / 255.0
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, images, training=True)
+        preds = [out["flows"][:, 0]] + [
+            p * config.div_flow for p in reversed(out["flow_preds"])
+        ]
+        loss = multiscale_sequence_loss(preds, batch["flow"], batch["valid"])
+        epe = jnp.sqrt(jnp.sum((out["flows"][:, 0] - batch["flow"]) ** 2, -1))
+        vmask = batch["valid"]
+        metrics = {"epe": jnp.sum(epe * vmask) / jnp.maximum(jnp.sum(vmask), 1.0)}
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
+def lfn3_unsup_train_step(state, batch, *, config: LFN3Config):
+    """Unsupervised LFN3: fw + bw passes, multi-scale photometric/smooth/consist
+    (`train_liteflownet3_unsupervised.py` intent)."""
+    model = LiteFlowNet3(config)
+    img1 = batch["image1"] / 255.0
+    img2 = batch["image2"] / 255.0
+
+    def run(params, a, b):
+        out = model.apply(
+            {"params": params}, jnp.stack([a, b], axis=1), training=True
+        )
+        # finest-first pixel-unit pyramid + final full-res flow
+        preds = [out["flows"][:, 0]] + [
+            p * config.div_flow for p in reversed(out["flow_preds"])
+        ]
+        return preds
+
+    def loss_fn(params):
+        preds_fw = run(params, img1, img2)
+        preds_bw = run(params, img2, img1)
+        loss, metrics = unsupervised_loss(
+            img1, img2, preds_fw, preds_bw,
+            scale_weights=(0.32, 0.08, 0.02, 0.01, 0.005),
+        )
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
+def simple_flow_train_step(state, batch, *, config: SimpleFlowConfig):
+    """Supervised SimpleFlowNet step (`train_simple_flow.py`). Images 0-255 -> [0,1]."""
+    model = SimpleFlowNet(config)
+    img1 = batch["image1"] / 255.0
+    img2 = batch["image2"] / 255.0
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds, mut = model.apply(
+            variables, img1, img2, train=True, mutable=["batch_stats"]
+        )
+        loss, metrics = simple_flow_loss(preds, batch["flow"], batch["valid"], img1)
+        return loss, (metrics, mut["batch_stats"])
+
+    (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
+def simple_flow_unsup_train_step(state, batch, *, config: SimpleFlowConfig):
+    """Unsupervised SimpleFlowNet: fw + bw passes
+    (`train_simple_flow_unsupervised.py:400-410`)."""
+    model = SimpleFlowNet(config)
+    img1 = batch["image1"] / 255.0
+    img2 = batch["image2"] / 255.0
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds_fw, mut = model.apply(
+            variables, img1, img2, train=True, mutable=["batch_stats"]
+        )
+        variables = {"params": params, "batch_stats": mut["batch_stats"]}
+        preds_bw, mut = model.apply(
+            variables, img2, img1, train=True, mutable=["batch_stats"]
+        )
+        loss, metrics = unsupervised_loss(img1, img2, preds_fw, preds_bw)
+        return loss, (metrics, mut["batch_stats"])
+
+    (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
+def ifnet_train_step(state, batch, *, unsupervised: bool = False):
+    """IFNet step (`IFNET_train.py:256,288-293`): supervised picks
+    flow[..., 2:4] as the prediction; unsupervised uses laploss on the cascade."""
+    model = IFNet()
+    img1 = batch["image1"] / 255.0
+    img2 = batch["image2"] / 255.0
+
+    def loss_fn(params):
+        flow_list, mask_list, warped_list = model.apply(
+            {"params": params}, img1, img2
+        )
+        if unsupervised:
+            loss, metrics = laploss(warped_list, img1, img2)
+        else:
+            preds = [f[..., 2:4] for f in flow_list]
+            loss, metrics = simple_flow_loss(preds, batch["flow"], batch["valid"], img1)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
+# ------------------------------------------------------------------ the trainer
+
+
+class FlowTrainer:
+    """Generic SPMD trainer: jitted step over a data mesh + logging + checkpoints.
+
+    model_kind in {'lfn3', 'lfn3_unsup', 'simple_flow', 'simple_flow_unsup',
+    'ifnet', 'ifnet_unsup'}.
+    """
+
+    STEP_FNS: Dict[str, Callable] = {
+        "lfn3": lfn3_train_step,
+        "lfn3_unsup": lfn3_unsup_train_step,
+        "simple_flow": simple_flow_train_step,
+        "simple_flow_unsup": simple_flow_unsup_train_step,
+        "ifnet": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=False),
+        "ifnet_unsup": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=True),
+    }
+
+    def __init__(
+        self,
+        model_kind: str,
+        image_size: Tuple[int, int],
+        model_config: Any = None,
+        optim: Optional[OptimConfig] = None,
+        mesh=None,
+        seed: int = 1234,
+        restore_variables: Optional[Dict] = None,
+        checkpoint_dir: str = "checkpoints",
+    ):
+        if model_kind not in self.STEP_FNS:
+            raise ValueError(f"unknown model_kind {model_kind!r}")
+        self.model_kind = model_kind
+        base = model_kind.replace("_unsup", "")
+        if model_config is None:
+            model_config = {
+                "lfn3": LFN3Config(),
+                "simple_flow": SimpleFlowConfig(),
+                "ifnet": None,
+            }[base]
+        self.model_config = model_config
+        self.optim = optim or OptimConfig(adamw=(base != "lfn3"))
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.checkpoint_dir = checkpoint_dir
+        self.rng = jax.random.PRNGKey(seed)
+
+        H, W = image_size
+        dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+        if base == "lfn3":
+            model = LiteFlowNet3(model_config)
+            variables = model.init(self.rng, jnp.stack([dummy, dummy], 1), training=True)
+        elif base == "simple_flow":
+            model = SimpleFlowNet(model_config)
+            variables = model.init(self.rng, dummy, dummy)
+        else:
+            model = IFNet()
+            variables = model.init(self.rng, dummy, dummy)
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if restore_variables is not None:
+            params = restore_variables.get("params", params)
+            batch_stats = restore_variables.get("batch_stats", batch_stats)
+
+        tx, self.schedule = make_step_optimizer(self.optim)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+        self.logger = MetricLogger(schedule=self.schedule)
+
+        step_fn = self.STEP_FNS[model_kind]
+        cfg = self.model_config
+        self._step = jax.jit(
+            lambda state, batch: step_fn(state, batch, config=cfg),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, batch):
+        batch = shard_batch(batch, self.mesh)
+        self.state, metrics = self._step(self.state, batch)
+        return metrics
+
+    @property
+    def variables(self):
+        return _variables(self.state)
+
+    def run(self, data_iter, num_steps: int, val_fn=None, val_freq: int = 5000,
+            resume: bool = False):
+        """Main loop: periodic val + weights .npz + full-state orbax checkpoints
+        (latest/best/periodic, optimizer included — the reference's richer trainer
+        checkpoint policy, `train_liteflownet3.py:549-567`)."""
+        from raft_optical_flow_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(
+            os.path.join(self.checkpoint_dir, f"{self.model_kind}_state"),
+            keep_every=val_freq,
+        )
+        if resume:
+            self.state, ok = mgr.restore_latest(self.state)
+            if ok:
+                print(f"resumed from step {int(self.state.step)}")
+        start = int(self.state.step)
+        for step in range(start, num_steps):
+            metrics = self.train_step(next(data_iter))
+            self.logger.push(jax.tree.map(float, metrics))
+            if (step + 1) % val_freq == 0:
+                self.save_checkpoint(f"{self.model_kind}_{step + 1}")
+                metric = None
+                if val_fn is not None:
+                    results = val_fn(self.variables)
+                    self.logger.write_dict(results)
+                    metric = min((v for v in results.values()), default=None)
+                mgr.save(self.state, step + 1, metric)
+        self.save_checkpoint(self.model_kind)
+        mgr.save(self.state, num_steps)
+        return self.state
+
+    def save_checkpoint(self, name: str):
+        import os
+
+        from raft_optical_flow_tpu.utils.torch_convert import save_flax_checkpoint
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, f"{name}.npz")
+        save_flax_checkpoint(jax.tree.map(jax.device_get, self.variables), path)
+        return path

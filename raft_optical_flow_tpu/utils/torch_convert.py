@@ -143,6 +143,49 @@ def convert_raft_checkpoint(path: str) -> Dict[str, Any]:
     return torch_state_dict_to_flax(sd, rename=_raft_rename)
 
 
+def convert_lfn3_checkpoint(path: str) -> Dict[str, Any]:
+    """Convert a LiteFlowNet3 torch/Lightning checkpoint to flax variables.
+
+    Handles Lightning `.ckpt` dicts ({'state_dict': ...} with 'model.' prefixes,
+    `train_liteflownet3.py:499-523`) and plain state_dicts; the LFN3 flax module
+    names mirror the torch attribute paths so no rename is needed.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model_state_dict", "model"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+            break
+    return torch_state_dict_to_flax(sd)
+
+
+def check_checkpoint_compat(variables: Dict[str, Any], reference: Dict[str, Any]):
+    """Key/shape compatibility report between two variable trees.
+
+    The IFNET_load.py (:6-19) role: verify a converted checkpoint matches a
+    model's initialized structure before loading. Returns
+    (missing, unexpected, shape_mismatches) lists of '/'-joined paths.
+    """
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, p))
+            else:
+                out[p] = tuple(np.shape(v))
+        return out
+
+    a = flatten(variables)
+    b = flatten(reference)
+    missing = sorted(set(b) - set(a))
+    unexpected = sorted(set(a) - set(b))
+    mismatched = sorted(k for k in set(a) & set(b) if a[k] != b[k])
+    return missing, unexpected, mismatched
+
+
 def save_flax_checkpoint(variables: Dict[str, Any], path: str):
     """Save a flax variable tree as a flat .npz (portable, torch-free loading)."""
     flat = {}

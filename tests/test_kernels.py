@@ -81,6 +81,25 @@ def test_ondemand_matches_materialized_pyramid():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_lookup_custom_vjp_matches_xla_grads():
+    """Pallas lookup backward (d wrt the volume) vs XLA gather-path autodiff."""
+    fmap1, fmap2, coords = _make_inputs(seed=6, B=1, H=10, W=12, C=16)
+    pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 3)
+
+    def loss_pallas(pyr):
+        out = corr_pyramid_lookup_pallas(pyr, coords, 3, interpret=True)
+        return jnp.sum(jnp.cos(out))
+
+    def loss_xla(pyr):
+        out = corr_pyramid_lookup(pyr, coords, 3)
+        return jnp.sum(jnp.cos(out))
+
+    g1 = jax.grad(loss_pallas)(pyr)
+    g2 = jax.grad(loss_xla)(pyr)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_ondemand_custom_vjp_matches_xla_grads():
     fmap1, fmap2, coords = _make_inputs(seed=5, B=1, H=8, W=10, C=16)
     pyr = _f2_pyramid(fmap2, 2)
