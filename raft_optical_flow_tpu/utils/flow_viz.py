@@ -71,3 +71,22 @@ def flow_to_image(
     rad_max = np.sqrt(u**2 + v**2).max()
     eps = 1e-5
     return flow_uv_to_colors(u / (rad_max + eps), v / (rad_max + eps), convert_to_bgr)
+
+
+def flow_to_rgb_hsv(flow: np.ndarray) -> np.ndarray:
+    """HSV-wheel flow visualization (`train_liteflownet3.py:88-102` variant).
+
+    Hue = flow angle, saturation = 255, value = min(4*|flow|, 255). Uses cv2's
+    HSV with hue in [0, 180).
+    """
+    import cv2
+
+    h, w = flow.shape[:2]
+    fx, fy = flow[:, :, 0], flow[:, :, 1]
+    ang = np.arctan2(fy, fx) + np.pi
+    v = np.sqrt(fx * fx + fy * fy)
+    hsv = np.zeros((h, w, 3), dtype=np.uint8)
+    hsv[:, :, 0] = (ang * (180 / np.pi / 2)).astype(np.uint8)
+    hsv[:, :, 1] = 255
+    hsv[:, :, 2] = np.minimum(v * 4, 255).astype(np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
