@@ -36,6 +36,7 @@ from raft_optical_flow_tpu.ops.corr import (
     all_pairs_correlation,
     avg_pool2x2,
     build_corr_pyramid,
+    build_corr_pyramid_from_fmaps,
     corr_pyramid_lookup,
 )
 from raft_optical_flow_tpu.ops.grid import coords_grid, upflow8
@@ -218,8 +219,9 @@ class RAFT(nn.Module):
                 if dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST
             )
-            corr = all_pairs_correlation(fmap1, fmap2, precision=precision)
-            corr_state = build_corr_pyramid(corr, cfg.corr_levels)
+            corr_state = build_corr_pyramid_from_fmaps(
+                fmap1, fmap2, cfg.corr_levels, precision=precision
+            )
 
         cnet_out = cnet(image1.astype(dtype), train=train, bn_train=bn_train).astype(
             jnp.float32

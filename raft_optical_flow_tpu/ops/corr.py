@@ -56,6 +56,43 @@ def build_corr_pyramid(corr: jax.Array, num_levels: int = 4) -> Tuple[jax.Array,
     return tuple(pyramid)
 
 
+def build_corr_pyramid_from_fmaps(
+    fmap1: jax.Array,
+    fmap2: jax.Array,
+    num_levels: int = 4,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, ...]:
+    """Correlation pyramid computed as one matmul PER LEVEL against pooled fmap2.
+
+    Mathematically identical to pooling the volume (`core/corr.py:47-54`): average
+    pooling corr over the target coordinates commutes with the dot product because
+    correlation is linear in fmap2 —
+        avgpool_{u,v}(<f1[q], f2[u,v]>) = <f1[q], avgpool_{u,v}(f2)[u', v']>.
+    Pooling the [B, Q, H, W] volume costs ~250 MB of HBM traffic at Sintel size;
+    pooling fmap2 first costs ~10 MB and turns each level into a small MXU matmul.
+
+    fmap1/fmap2: [B, H, W, C]. Returns levels of [B, H*W, H_l, W_l].
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C).astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(C))
+
+    pyramid = []
+    f2 = fmap2
+    for lvl in range(num_levels):
+        Hl, Wl = f2.shape[1:3]
+        corr_l = jnp.einsum(
+            "bqc,bpc->bqp",
+            f1,
+            f2.reshape(B, Hl * Wl, C).astype(jnp.float32),
+            precision=precision,
+        )
+        pyramid.append(corr_l.reshape(B, H * W, Hl, Wl) * scale)
+        if lvl + 1 < num_levels:
+            f2 = avg_pool2x2(f2.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
+    return tuple(pyramid)
+
+
 def _window_offsets(radius: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """(ox, oy) flattened window offsets in the reference channel order.
 

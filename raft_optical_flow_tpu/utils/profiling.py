@@ -71,10 +71,17 @@ def compare_models(height: int = 256, width: int = 448, num_reps: int = 5) -> Di
         variables = init_fn()
         f = jax.jit(lambda a, b: fwd(variables, a, b))
         ms, _ = time_fn(f, img, img, num_reps=num_reps)
-        results[name] = {
+        entry = {
             "params": param_count(variables["params"]),
             "latency_ms": round(ms, 2),
         }
+        try:  # XLA cost analysis = the thop-FLOPs role (`IFNET_m.py:373-521`)
+            ca = f.lower(img, img).compile().cost_analysis()
+            if ca and "flops" in ca:
+                entry["gflops"] = round(float(ca["flops"]) / 1e9, 2)
+        except Exception:
+            pass
+        results[name] = entry
 
     raft = RAFT(RAFTConfig(small=True))
     bench(

@@ -87,6 +87,22 @@ def test_corr_lookup_matches_reference(radius):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_pyramid_from_fmaps_matches_pooled_volume():
+    """dot-then-pool == pool-then-dot (linearity), to float tolerance."""
+    from raft_optical_flow_tpu.ops.corr import build_corr_pyramid_from_fmaps
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 14, 18, 16
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ref = build_corr_pyramid(all_pairs_correlation(f1, f2), 4)
+    ours = build_corr_pyramid_from_fmaps(f1, f2, 4)
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_convex_upsample_matches_reference():
     """Oracle: core/raft.py:112-142 upsample_flow."""
     rng = np.random.RandomState(7)
