@@ -19,13 +19,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
+def create_demo_images(output_dir: str = "./demo_images", size: int = 256):
+    """Synthetic demo pair: a circle moving +40 px in x (`demo_simple_flow.py:225-258`)."""
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    y, x = np.ogrid[:size, :size]
+    paths = []
+    for i, cx in enumerate((size // 2 - 20, size // 2 + 20)):
+        img = np.zeros((size, size, 3), np.uint8)
+        img[(x - cx) ** 2 + (y - size // 2) ** 2 <= 30**2] = [255, 0, 0]
+        p = os.path.join(output_dir, f"img{i + 1}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return tuple(paths)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", required=True, help="converted .npz checkpoint")
     parser.add_argument("--arch", default="raft",
                         choices=["raft", "liteflownet3", "liteflownet3s",
                                  "simple_flow", "ifnet"])
-    parser.add_argument("--path", required=True, help="directory of frames")
+    parser.add_argument("--path", default=None, help="directory of frames")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate and use a synthetic demo pair")
     parser.add_argument("--out", default="demo_out")
     parser.add_argument("--small", action="store_true")
     parser.add_argument("--iters", type=int, default=20)
@@ -83,6 +101,11 @@ def main():
         )
         needs_pad, scale255 = True, True
 
+    if args.synthetic:
+        args.path = os.path.join(args.out, "demo_images")
+        create_demo_images(args.path)
+    if args.path is None:
+        parser.error("--path or --synthetic required")
     frames = sorted(
         glob.glob(os.path.join(args.path, "*.png"))
         + glob.glob(os.path.join(args.path, "*.jpg"))

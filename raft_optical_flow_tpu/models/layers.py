@@ -156,10 +156,17 @@ def deconv(
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """Per-sample, per-channel spatial normalization; no affine (torch default)."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-sample, per-channel spatial normalization; no affine (torch default).
+
+    Stats via E[x^2] - E[x]^2 in fp32 so both reductions fuse into ONE pass over
+    the activation (the encoders run 16 of these on large tensors; the two-pass
+    (x - mean)^2 formulation measurably dominated fnet time).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    mean_sq = (x32 * x32).mean(axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def apply_norm(
