@@ -66,8 +66,10 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
     cx = coords_ref[0, :, 0]
     cy = coords_ref[0, :, 1]
 
-    X = _tri_selector(cx, Wl, radius)  # [QT, Wl, K]
-    Y = _tri_selector(cy, Hl, radius)  # [QT, Hl, K]
+    # selectors in the volume's dtype (bf16 volumes halve the per-iteration HBM
+    # traffic under the mixed-precision policy); accumulation stays fp32
+    X = _tri_selector(cx, Wl, radius).astype(corr.dtype)  # [QT, Wl, K]
+    Y = _tri_selector(cy, Hl, radius).astype(corr.dtype)  # [QT, Hl, K]
 
     # u[q, a, h] = sum_w X[q, w, a] * corr[q, h, w]
     u = jax.lax.dot_general(
@@ -117,7 +119,7 @@ def _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
 
 
 def _lookup_level_fwd_impl(corr_l, coords_l, radius: int, qt: int, interpret: bool):
-    """corr_l: [B, Q, Hl, Wl] fp32; coords_l: [B, Q, 2] level-scaled. -> [B, Q, K^2]."""
+    """corr_l: [B, Q, Hl, Wl] fp32/bf16; coords_l: [B, Q, 2] level-scaled. -> [B, Q, K^2] fp32."""
     B, Q, Hl, Wl = corr_l.shape
     K = 2 * radius + 1
 
@@ -143,15 +145,17 @@ def _lookup_level_fwd_impl(corr_l, coords_l, radius: int, qt: int, interpret: bo
 
 def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
     out = _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret)
-    return out, coords_l
+    # the empty array carries the primal volume dtype for the cotangent
+    return out, (coords_l, jnp.zeros((0,), corr_l.dtype))
 
 
-def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, coords_l, g):
+def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, residuals, g):
     """Gradient wrt the correlation volume, as a Pallas kernel with the same
     separable-selector structure. The coords gradient is zero: RAFT stop-gradients
     coords1 before every lookup (`core/raft.py:216`), so no gradient would flow
     through it anyway; this matches the on-demand path and the reference CUDA
     kernel (which never computes a coords grad either)."""
+    coords_l, dtype_token = residuals
     B, Q = coords_l.shape[:2]
     K = 2 * radius + 1
     g = g.reshape(B, Q, K, K)
@@ -173,7 +177,10 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, coords_l, g):
         out_shape=jax.ShapeDtypeStruct((B, Qp, Hl, Wl), jnp.float32),
         interpret=interpret,
     )(coords_l, g)
-    return (dcorr[:, :Q], jnp.zeros_like(coords_l[:, :Q]))
+    return (
+        dcorr[:, :Q].astype(dtype_token.dtype),
+        jnp.zeros_like(coords_l[:, :Q]),
+    )
 
 
 _lookup_level.defvjp(_lookup_level_fwd, _lookup_level_bwd)
@@ -209,9 +216,7 @@ def corr_pyramid_lookup_pallas(
         coords_l = coords_flat / jnp.float32(2.0**lvl)
         Hl, Wl = corr_l.shape[2], corr_l.shape[3]
         outs.append(
-            _lookup_level(
-                corr_l.astype(jnp.float32), coords_l, radius, qt, interpret, Hl, Wl
-            )
+            _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl)
         )
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(B, h, w, -1)

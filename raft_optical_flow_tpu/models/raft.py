@@ -222,6 +222,10 @@ class RAFT(nn.Module):
             corr_state = build_corr_pyramid_from_fmaps(
                 fmap1, fmap2, cfg.corr_levels, precision=precision
             )
+            if dtype == jnp.bfloat16:
+                # bf16 volume halves the dominant per-iteration HBM read; the
+                # lookup accumulates in fp32 (see kernels/corr_lookup.py)
+                corr_state = tuple(c.astype(jnp.bfloat16) for c in corr_state)
 
         cnet_out = cnet(image1.astype(dtype), train=train, bn_train=bn_train).astype(
             jnp.float32

@@ -15,6 +15,7 @@ replacement for `nn.DataParallel` (`train.py:172`).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -235,18 +236,35 @@ class RAFTTrainer:
         self.state, metrics = self._step(self.state, batch, step_rng)
         return metrics
 
-    def run(self, data_iter, num_steps: Optional[int] = None, val_fn=None):
-        """Main loop: `train.py:195-265` semantics (log/100, val+ckpt/val_freq)."""
+    def run(self, data_iter, num_steps: Optional[int] = None, val_fn=None,
+            resume: bool = False):
+        """Main loop: `train.py:195-265` semantics (log/100, val+ckpt/val_freq),
+        plus full-state orbax latest/best/periodic checkpoints for resume."""
+        from raft_optical_flow_tpu.utils.checkpoint import CheckpointManager
+
         num_steps = num_steps or self.stage.num_steps
-        for step in range(num_steps):
+        mgr = CheckpointManager(
+            os.path.join(self.checkpoint_dir, f"{self.stage.name}_state"),
+            keep_every=self.stage.val_freq,
+        )
+        if resume:
+            self.state, ok = mgr.restore_latest(self.state)
+            if ok:
+                print(f"resumed from step {int(self.state.step)}")
+        for step in range(int(self.state.step), num_steps):
             batch = next(data_iter)
             metrics = self.train_step(batch)
             self.logger.push(jax.tree.map(float, metrics))
             if (step + 1) % self.stage.val_freq == 0:
                 self.save_checkpoint(f"{self.stage.name}_{step + 1}")
+                metric = None
                 if val_fn is not None:
-                    self.logger.write_dict(val_fn(self.variables))
+                    results = val_fn(self.variables)
+                    self.logger.write_dict(results)
+                    metric = min((v for v in results.values()), default=None)
+                mgr.save(self.state, step + 1, metric)
         self.save_checkpoint(self.stage.name)
+        mgr.save(self.state, num_steps)
         return self.state
 
     @property
