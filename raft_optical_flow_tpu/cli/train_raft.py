@@ -15,9 +15,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-import numpy as np
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", default="raft", help="name your experiment")

@@ -16,7 +16,7 @@ np.random.Generator for per-worker determinism (`core/datasets.py:96-102`).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

@@ -15,7 +15,7 @@ program per bucket instead of one per frame size; metrics use mask-weighted redu
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ reductions are mask-weighted (no boolean indexing) so everything jits.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

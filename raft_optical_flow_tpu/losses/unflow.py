@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from raft_optical_flow_tpu.ops.grid import bilinear_sampler, coords_grid
-from raft_optical_flow_tpu.ops.warp import forward_splat_range_map
 
 DISOCC_THRESH = 0.8
 

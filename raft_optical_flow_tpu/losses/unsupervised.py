@@ -15,7 +15,7 @@ All NHWC; flow channels (x, y), pixel units at each prediction's own resolution.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

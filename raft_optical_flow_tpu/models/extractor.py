@@ -18,8 +18,6 @@ checkpoint converter is a mechanical rename.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from raft_optical_flow_tpu.models.layers import apply_norm, conv

@@ -23,7 +23,7 @@ TPU-first design choices (not translations):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +33,7 @@ from raft_optical_flow_tpu.models import layers
 from raft_optical_flow_tpu.models.extractor import BasicEncoder, SmallEncoder
 from raft_optical_flow_tpu.models.update import BasicUpdateBlock, SmallUpdateBlock
 from raft_optical_flow_tpu.ops.corr import (
-    all_pairs_correlation,
     avg_pool2x2,
-    build_corr_pyramid,
     build_corr_pyramid_from_fmaps,
     corr_pyramid_lookup,
 )

@@ -16,8 +16,7 @@ import functools
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def spatial_sharded_ondemand_corr(

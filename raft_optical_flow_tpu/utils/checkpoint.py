@@ -16,7 +16,7 @@ VAL_FREQ. Here:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
