@@ -20,24 +20,47 @@ from raft_optical_flow_tpu.ops.grid import resize_bilinear
 
 
 class InputPadder:
-    """Pads NHWC images so H and W are divisible by `stride` (replicate padding)."""
+    """Pads NHWC images so H and W are divisible by `stride`.
 
-    def __init__(self, dims, mode: str = "sintel", stride: int = 8):
+    `mode='sintel'` centers the pad, 'kitti' pads bottom only
+    (`core/utils/utils.py:7-24`); the generalized options mirror
+    `liteflownet3_util.py:18-118`: any stride, `pad_mode` ('replicate' |
+    'constant' with `pad_value`), `two_side_pad`, and an optional `fixed_size`
+    target instead of the next multiple of stride.
+    """
+
+    def __init__(self, dims, mode: str = "sintel", stride: int = 8,
+                 pad_mode: str = "replicate", pad_value: float = 0.0,
+                 two_side_pad: bool = True, fixed_size=None):
         # dims: shape tuple [..., H, W, C]
         self.ht, self.wd = dims[-3], dims[-2]
-        pad_ht = (((self.ht // stride) + 1) * stride - self.ht) % stride
-        pad_wd = (((self.wd // stride) + 1) * stride - self.wd) % stride
-        if mode == "sintel":
+        if fixed_size is not None:
+            tgt_ht, tgt_wd = fixed_size
+            pad_ht = max(tgt_ht - self.ht, 0)
+            pad_wd = max(tgt_wd - self.wd, 0)
+        else:
+            pad_ht = (((self.ht // stride) + 1) * stride - self.ht) % stride
+            pad_wd = (((self.wd // stride) + 1) * stride - self.wd) % stride
+        if mode == "kitti":
+            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht)
+        elif two_side_pad:
             # (left, right, top, bottom)
             self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2)
         else:
-            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht)
+            self._pad = (0, pad_wd, 0, pad_ht)
+        self._pad_mode = pad_mode
+        self._pad_value = pad_value
 
     def pad(self, *inputs):
         l, r, t, b = self._pad
-        out = [
-            jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge") for x in inputs
-        ]
+        widths = ((0, 0), (t, b), (l, r), (0, 0))
+        if self._pad_mode == "replicate":
+            out = [jnp.pad(x, widths, mode="edge") for x in inputs]
+        else:
+            out = [
+                jnp.pad(x, widths, mode="constant", constant_values=self._pad_value)
+                for x in inputs
+            ]
         return out if len(out) > 1 else out[0]
 
     def unpad(self, x):

@@ -49,6 +49,43 @@ class TensorBoardWriter:
         self.writer.close()
 
 
+def save_flow_grid(path: str, panels, ncols: int = 3, titles=None):
+    """Save a grid of flow visualizations + images as one PNG.
+
+    The matplotlib multi-scale debug grids of the reference trainers
+    (`train_liteflownet3.py:219-247`, `IFNET_train.py:258-284`). `panels` is a
+    list of [H, W, 2] flows (visualized via the Middlebury wheel) or [H, W, 3]
+    images (shown as-is, assumed 0-1 or 0-255).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from raft_optical_flow_tpu.utils.flow_viz import flow_to_image
+
+    n = len(panels)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows))
+    axes = np.atleast_1d(axes).ravel()
+    for i, ax in enumerate(axes):
+        ax.axis("off")
+        if i >= n:
+            continue
+        p = np.asarray(panels[i])
+        if p.shape[-1] == 2:
+            ax.imshow(flow_to_image(p))
+        else:
+            img = p if p.max() > 1.5 else p * 255.0
+            ax.imshow(img.astype(np.uint8))
+        if titles and i < len(titles):
+            ax.set_title(titles[i])
+    fig.tight_layout()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 class TeeLogger:
     """Duplicate stdout to a timestamped log file (`train_liteflownet3.py:32-77`)."""
 
