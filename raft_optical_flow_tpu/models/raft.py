@@ -116,10 +116,11 @@ class RAFTIteration(nn.Module):
             block = SmallUpdateBlock(cfg.hidden_dim, name="block")
         else:
             block = BasicUpdateBlock(cfg.hidden_dim, name="block")
+        # the GRU hidden state is carried in the compute dtype (the reference's
+        # autocast keeps it half precision too); delta joins fp32 coords
         net, up_mask, delta = block(
             net.astype(dtype), inp.astype(dtype), corr.astype(dtype), flow.astype(dtype)
         )
-        net = net.astype(jnp.float32)
         delta = delta.astype(jnp.float32)
 
         coords1 = coords1 + delta
@@ -229,7 +230,7 @@ class RAFT(nn.Module):
             jnp.float32
         )
         net, inp = jnp.split(cnet_out, [hdim], axis=-1)
-        net = jnp.tanh(net)
+        net = jnp.tanh(net).astype(dtype)  # GRU state carried in compute dtype
         inp = nn.relu(inp)
 
         coords0 = coords_grid(N, h, w)
