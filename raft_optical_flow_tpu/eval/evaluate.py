@@ -94,9 +94,13 @@ def forward_interpolate(flow: np.ndarray) -> np.ndarray:
     return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
 
 
-def _run_padded(fwd, image1, image2, mode: str, flow_init=None):
-    """Pad -> forward -> unpad. images: [H, W, 3] numpy."""
-    padder = InputPadder((1,) + image1.shape, mode=mode)
+def _run_padded(fwd, image1, image2, mode: str, flow_init=None, stride: int = 8):
+    """Pad -> forward -> unpad. images: [H, W, 3] numpy.
+
+    `stride` > 8 buckets frame sizes (e.g. 64 collapses KITTI's slightly-varying
+    resolutions onto a handful of shapes, one XLA compile each — SURVEY.md §7.3
+    'dynamic image sizes')."""
+    padder = InputPadder((1,) + image1.shape, mode=mode, stride=stride)
     i1 = jnp.asarray(image1, jnp.float32)[None]
     i2 = jnp.asarray(image2, jnp.float32)[None]
     i1, i2 = padder.pad(i1, i2)
@@ -141,12 +145,15 @@ def validate_sintel(fwd, dataset: Iterable, dstype: str = "clean") -> Dict[str, 
     return res
 
 
-def validate_kitti(fwd, dataset: Iterable) -> Dict[str, float]:
-    """`evaluate.py:130-166`: KITTI EPE + F1-all over valid pixels."""
+def validate_kitti(fwd, dataset: Iterable, bucket_stride: int = 64) -> Dict[str, float]:
+    """`evaluate.py:130-166`: KITTI EPE + F1-all over valid pixels.
+
+    KITTI frames vary slightly in resolution; bucket_stride pads them onto a few
+    shared shapes so XLA compiles once per bucket instead of once per frame."""
     out_list, epe_list = [], []
     for sample in dataset:
         image1, image2, flow_gt, valid_gt = sample[0], sample[1], sample[2], sample[3]
-        flow, _ = _run_padded(fwd, image1, image2, mode="kitti")
+        flow, _ = _run_padded(fwd, image1, image2, mode="kitti", stride=bucket_stride)
         epe = epe_stats(flow, flow_gt)
         mag = np.sqrt(np.sum(flow_gt**2, axis=-1))
         val = valid_gt >= 0.5

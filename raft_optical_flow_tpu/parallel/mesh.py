@@ -39,6 +39,28 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def make_hybrid_mesh(
+    dcn_axis: int = 1,
+    axis_names: Sequence[str] = ("dcn", "data"),
+) -> Mesh:
+    """Multi-slice mesh: outer 'dcn' axis across slices/hosts, inner ICI axis.
+
+    The multi-pod extension of the DP design (SURVEY.md §2.7): gradients psum
+    hierarchically — XLA reduces within a slice over ICI, then across slices
+    over DCN. On a single slice this degenerates to make_mesh.
+    """
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    if dcn_axis <= 1:
+        return make_mesh(axis_names=axis_names, shape=(1, n))
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, n // dcn_axis),
+        dcn_mesh_shape=(dcn_axis, 1),
+    )
+    return Mesh(dev_array, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) dim over `axis`."""
     return NamedSharding(mesh, P(axis))
