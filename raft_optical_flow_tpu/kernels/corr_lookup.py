@@ -185,6 +185,89 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, residuals, g):
 _lookup_level.defvjp(_lookup_level_fwd, _lookup_level_bwd)
 
 
+def _fused_lookup_kernel(coords_ref, *refs, radius: int, levels: int):
+    """All pyramid levels in one grid step. refs = (corr_0..corr_{L-1}, out).
+
+    coords_ref: VMEM [1, QT, 2] level-0 (x, y); out: [1, QT, L, K, K].
+    """
+    corr_refs = refs[:levels]
+    out_ref = refs[levels]
+    for lvl in range(levels):
+        corr = corr_refs[lvl][0]
+        Hl, Wl = corr.shape[1], corr.shape[2]
+        scale = 1.0 / (2.0**lvl)
+        cx = coords_ref[0, :, 0] * scale
+        cy = coords_ref[0, :, 1] * scale
+        X = _tri_selector(cx, Wl, radius).astype(corr.dtype)
+        Y = _tri_selector(cy, Hl, radius).astype(corr.dtype)
+        u = jax.lax.dot_general(
+            X, corr,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        win = jax.lax.dot_general(
+            u, Y,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, lvl] = win
+
+
+def corr_pyramid_lookup_pallas_fused(
+    pyramid: Sequence[jax.Array],
+    coords: jax.Array,
+    radius: int,
+    qt: int = 96,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-pallas_call variant: all levels per grid step. Forward-only.
+
+    MEASURED SLOWER in-model than the per-level kernels (13.9 vs 17.2 pairs/s at
+    the headline bench): all four level blocks resident per step force qt <= 96
+    to fit the 16 MB VMEM scoped allocation, and the smaller tiles cost more in
+    matmul utilization than the fusion saves in pipeline overhead. Kept as a
+    documented variant; the model uses the per-level kernels."""
+    if interpret is None:
+        if _interpret_default():
+            from raft_optical_flow_tpu.ops.corr import corr_pyramid_lookup
+
+            return corr_pyramid_lookup(pyramid, coords, radius)
+        interpret = False
+
+    B, h, w, _ = coords.shape
+    Q = h * w
+    L = len(pyramid)
+    K = 2 * radius + 1
+    coords_flat = coords.reshape(B, Q, 2).astype(jnp.float32)
+
+    pad_q = (-Q) % qt
+    corr_ls = [
+        jnp.pad(c, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else c
+        for c in pyramid
+    ]
+    coords_p = (
+        jnp.pad(coords_flat, ((0, 0), (0, pad_q), (0, 0))) if pad_q else coords_flat
+    )
+    Qp = Q + pad_q
+
+    in_specs = [pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0))]
+    for c in corr_ls:
+        Hl, Wl = c.shape[2], c.shape[3]
+        in_specs.append(
+            pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0))
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_fused_lookup_kernel, radius=radius, levels=L),
+        grid=(B, Qp // qt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, qt, L, K, K), lambda b, q: (b, q, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, L, K, K), jnp.float32),
+        interpret=interpret,
+    )(coords_p, *corr_ls)
+    return out[:, :Q].reshape(B, h, w, L * K * K)
+
+
 def corr_pyramid_lookup_pallas(
     pyramid: Sequence[jax.Array],
     coords: jax.Array,
