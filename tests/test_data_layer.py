@@ -135,6 +135,23 @@ def test_sintel_dataset_and_loader(tmp_path):
     assert not np.array_equal(batch["image1"], batch2["image1"])
 
 
+def test_grain_loader(tmp_path):
+    pytest.importorskip("grain")
+    from raft_optical_flow_tpu.data.grain_pipeline import GrainFlowLoader
+
+    root = str(tmp_path / "sintel")
+    _make_mini_sintel(root, scenes=("alley_9",), frames=4)
+    aug = {"crop_size": (64, 96), "min_scale": -0.2, "max_scale": 0.2, "do_flip": True}
+    ds = MpiSintel(aug, root=root, dstype="clean")
+    loader = GrainFlowLoader(ds, batch_size=2, num_workers=0)
+    it = iter(loader)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["image1"].shape == (2, 64, 96, 3)
+    assert b1["flow"].dtype == np.float32
+    assert not np.array_equal(b1["image1"], b2["image1"])
+
+
 def test_preload_cache(tmp_path):
     root = str(tmp_path / "sintel")
     _make_mini_sintel(root, scenes=("alley_9",), frames=3)
