@@ -40,9 +40,13 @@ def warp_lfn3(x: jax.Array, flow: jax.Array, div_flow: float = 1.0) -> jax.Array
     """IRR-style backward warp with hard validity mask (`liteflownet3_warp.py:66-111`).
 
     x: [N, H, W, C]; flow: [N, H, W, 2] (x, y), divided by div_flow before use.
-    grid_sample(align_corners=True, zeros padding), then multiplied by a binary mask
-    that is 1 only where the sampled all-ones image stays >= 1 — i.e. where every
-    bilinear tap is in bounds, which reduces to the closed box [0, W-1] x [0, H-1].
+    grid_sample(align_corners=True, zeros padding), then multiplied by a binary
+    mask that is 1 where the sampled all-ones image stays >= 1 — i.e. every
+    bilinear tap in bounds. We use the exact analytic form of that condition (the
+    closed box [0, W-1] x [0, H-1]): the reference computes it by thresholding a
+    float weight sum, which drops an occasional interior pixel to 1-ulp rounding;
+    that noise is implementation-specific and not reproducible bit-for-bit, so the
+    deterministic box is the better-defined equivalent.
     """
     N, H, W, _ = x.shape
     coords = coords_grid(N, H, W, dtype=flow.dtype) + flow / div_flow
