@@ -160,13 +160,17 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
     Stats via E[x^2] - E[x]^2 in fp32 so both reductions fuse into ONE pass over
     the activation (the encoders run 16 of these on large tensors; the two-pass
-    (x - mean)^2 formulation measurably dominated fnet time).
+    (x - mean)^2 formulation measurably dominated fnet time). The normalize pass
+    runs in the input dtype — the stats are per-channel scalars, and keeping the
+    full-tensor elementwise work in bf16 under the mixed policy measured ~10%
+    faster on a conv+IN+relu chain than normalizing in fp32.
     """
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=(1, 2), keepdims=True)
     mean_sq = (x32 * x32).mean(axis=(1, 2), keepdims=True)
     var = jnp.maximum(mean_sq - mean * mean, 0.0)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
 
 
 def apply_norm(
