@@ -72,6 +72,22 @@ def test_stablehlo_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(fn(*ex)), rtol=1e-6)
 
 
+def test_export_raft_roundtrip(tmp_path):
+    """Full-model export: on the CPU backend the corr path lowers to portable
+    XLA (no tpu_custom_call), so the artifact is cross-platform."""
+    from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
+    from raft_optical_flow_tpu.utils.export import export_raft
+
+    m = RAFT(RAFTConfig(small=True))
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), img, img, iters=1, test_mode=True)
+    path = str(tmp_path / "raft.stablehlo")
+    export_raft(v, path, small=True, iters=2, height=64, width=96)
+    assert os.path.getsize(path) > 0
+    out = load_stablehlo(path).call(img, img)
+    assert out.shape == (1, 64, 96, 2)
+
+
 def test_flow_viz_shapes():
     rng = np.random.RandomState(0)
     flow = rng.uniform(-10, 10, (32, 48, 2)).astype(np.float32)
