@@ -56,17 +56,20 @@ def main():
 
     @jax.jit
     def fwd(variables, xs, ys):
-        return jax.lax.map(
+        flows = jax.lax.map(
             lambda p: model.apply(variables, p[0], p[1], iters=32, test_mode=True)[1],
             (xs, ys),
         )
+        # the sync scalar is computed inside the same dispatch: a separate
+        # jnp.sum dispatch would pay one more tunnel round-trip per timing
+        return flows, jnp.sum(flows)
 
     def run_once():
-        out = fwd(variables, a, b)
         # jax.block_until_ready does NOT reliably block through the axon TPU
         # tunnel (measured 500x under-reporting); forcing a scalar to host is
         # the only trustworthy sync.
-        return float(jnp.sum(out))
+        _, s = fwd(variables, a, b)
+        return float(s)
 
     run_once()  # compile + warmup
 
