@@ -100,6 +100,33 @@ def test_lookup_custom_vjp_matches_xla_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_full_model_trains_through_ondemand_path():
+    """alternate_corr=True end-to-end gradient step (custom VJP in the scan)."""
+    from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-2, 2, (1, 32, 48, 2)), jnp.float32)
+
+    model = RAFT(RAFTConfig(small=True, alternate_corr=True))
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, iters=1,
+                           test_mode=True)
+
+    def loss_fn(params):
+        preds = model.apply({"params": params}, img1, img2, iters=2, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.mean(jnp.abs(preds - gt[None]))
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # gradient reaches the feature encoder (through the on-demand corr VJP)
+    fnet_grads = jax.tree.leaves(grads["fnet"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in fnet_grads)
+
+
 def test_ondemand_custom_vjp_matches_xla_grads():
     fmap1, fmap2, coords = _make_inputs(seed=5, B=1, H=8, W=10, C=16)
     pyr = _f2_pyramid(fmap2, 2)
