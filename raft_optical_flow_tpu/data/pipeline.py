@@ -79,18 +79,29 @@ class FlowDataLoader:
         rng = np.random.default_rng((self.seed, epoch, int(index)))
         return self.dataset.__getitem__(int(index), rng=rng)
 
-    def epochs(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Endless batch iterator (epochs chained)."""
-        epoch = 0
+    def epochs(self, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless batch iterator (epochs chained).
+
+        skip_batches fast-forwards the deterministic index stream without
+        loading any data, so a resumed run (trainer step restored to N)
+        continues on the exact samples it would have seen — the reference's
+        resume restarts the shuffled stream from scratch instead.
+        """
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = collections.deque()
             max_pending = self.prefetch_batches * self.batch_size
 
             def index_stream():
                 e = 0
+                skip = skip_batches * self.batch_size
                 while True:
-                    for i in self._epoch_indices(e):
-                        yield e, i
+                    idx = self._epoch_indices(e)
+                    if skip >= len(idx):
+                        skip -= len(idx)
+                    else:
+                        for i in idx[skip:]:
+                            yield e, i
+                        skip = 0
                     e += 1
 
             stream = index_stream()
@@ -125,11 +136,15 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None):
     sentinel = object()
 
     def producer():
+        # Propagate decode/IO errors to the consumer instead of ending the
+        # stream cleanly (a swallowed exception here would surface as a bare
+        # StopIteration in the training loop, hiding the real cause).
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(sentinel)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            q.put(exc)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -137,4 +152,6 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -239,8 +239,16 @@ class RAFTTrainer:
     def run(self, data_iter, num_steps: Optional[int] = None, val_fn=None,
             resume: bool = False):
         """Main loop: `train.py:195-265` semantics (log/100, val+ckpt/val_freq),
-        plus full-state orbax latest/best/periodic checkpoints for resume."""
-        from raft_optical_flow_tpu.utils.checkpoint import CheckpointManager
+        plus full-state orbax latest/best/periodic checkpoints for resume.
+
+        data_iter may be a FlowDataLoader (resume then fast-forwards its
+        deterministic sample stream to the restored step) or a plain batch
+        iterator (resume re-reads it from its current position).
+        """
+        from raft_optical_flow_tpu.utils.checkpoint import (
+            CheckpointManager,
+            best_checkpoint_metric,
+        )
 
         num_steps = num_steps or self.stage.num_steps
         mgr = CheckpointManager(
@@ -251,6 +259,8 @@ class RAFTTrainer:
             self.state, ok = mgr.restore_latest(self.state)
             if ok:
                 print(f"resumed from step {int(self.state.step)}")
+        if hasattr(data_iter, "epochs"):
+            data_iter = data_iter.epochs(skip_batches=int(self.state.step))
         for step in range(int(self.state.step), num_steps):
             batch = next(data_iter)
             metrics = self.train_step(batch)
@@ -261,7 +271,7 @@ class RAFTTrainer:
                 if val_fn is not None:
                     results = val_fn(self.variables)
                     self.logger.write_dict(results)
-                    metric = min((v for v in results.values()), default=None)
+                    metric = best_checkpoint_metric(results)
                 mgr.save(self.state, step + 1, metric)
         self.save_checkpoint(self.stage.name)
         mgr.save(self.state, num_steps)

@@ -295,7 +295,10 @@ class FlowTrainer:
         """Main loop: periodic val + weights .npz + full-state orbax checkpoints
         (latest/best/periodic, optimizer included — the reference's richer trainer
         checkpoint policy, `train_liteflownet3.py:549-567`)."""
-        from raft_optical_flow_tpu.utils.checkpoint import CheckpointManager
+        from raft_optical_flow_tpu.utils.checkpoint import (
+            CheckpointManager,
+            best_checkpoint_metric,
+        )
 
         mgr = CheckpointManager(
             os.path.join(self.checkpoint_dir, f"{self.model_kind}_state"),
@@ -306,6 +309,8 @@ class FlowTrainer:
             if ok:
                 print(f"resumed from step {int(self.state.step)}")
         start = int(self.state.step)
+        if hasattr(data_iter, "epochs"):
+            data_iter = data_iter.epochs(skip_batches=start)
         for step in range(start, num_steps):
             metrics = self.train_step(next(data_iter))
             self.logger.push(jax.tree.map(float, metrics))
@@ -315,7 +320,7 @@ class FlowTrainer:
                 if val_fn is not None:
                     results = val_fn(self.variables)
                     self.logger.write_dict(results)
-                    metric = min((v for v in results.values()), default=None)
+                    metric = best_checkpoint_metric(results)
                 mgr.save(self.state, step + 1, metric)
         self.save_checkpoint(self.model_kind)
         mgr.save(self.state, num_steps)

@@ -15,11 +15,33 @@ VAL_FREQ. Here:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Optional
 
 import jax
 import numpy as np
+
+#: Validator keys that are end-point-errors (lower is better). Validators also
+#: return 1px/3px/5px accuracies and KITTI F1 (higher is better), so "best"
+#: selection must never take a bare min over all values.
+EPE_KEYS = ("chairs", "clean", "final", "kitti-epe", "epe", "loss")
+
+
+def best_checkpoint_metric(results: Dict[str, float]) -> Optional[float]:
+    """Pick the lower-is-better scalar to track 'best' checkpoints with.
+
+    Takes the min over the EPE-style entries of a validator result dict
+    (`evaluate.py:193-203` records EPE as the headline number); accuracy
+    fractions (`*_1px` etc.) and F1 are ignored. Returns None when the dict
+    has no lower-is-better entry, in which case no 'best' save happens.
+    """
+    vals = [
+        float(v)
+        for k, v in results.items()
+        if k in EPE_KEYS or k.endswith("epe")
+    ]
+    return min(vals) if vals else None
 
 
 def _ocp():
@@ -79,12 +101,28 @@ def latest_tag(directory: str) -> Optional[str]:
 
 
 class CheckpointManager:
-    """latest/best/periodic policy used by the reference's richer trainers."""
+    """latest/best/periodic policy used by the reference's richer trainers.
+
+    best_metric is persisted to `<dir>/best.json` so that a resumed run does
+    not overwrite the historical best checkpoint with a worse model on its
+    first validation (the reference carries best_epe inside its checkpoint
+    dicts, `train_liteflownet3.py:549-567`).
+    """
 
     def __init__(self, directory: str, keep_every: int = 5000):
         self.directory = directory
         self.keep_every = keep_every
-        self.best_metric = float("inf")
+        self.best_metric = self._load_best_metric()
+
+    def _best_path(self) -> str:
+        return os.path.join(self.directory, "best.json")
+
+    def _load_best_metric(self) -> float:
+        try:
+            with open(self._best_path()) as f:
+                return float(json.load(f)["best_metric"])
+        except (OSError, ValueError, KeyError):
+            return float("inf")
 
     def save(self, state, step: int, metric: Optional[float] = None, extra=None):
         save_train_state(self.directory, "latest", state, extra)
@@ -93,6 +131,8 @@ class CheckpointManager:
         if metric is not None and metric < self.best_metric:
             self.best_metric = metric
             save_train_state(self.directory, "best", state, extra)
+            with open(self._best_path(), "w") as f:
+                json.dump({"best_metric": metric, "step": step}, f)
 
     def restore_latest(self, state):
         tag = latest_tag(self.directory)

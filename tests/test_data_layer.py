@@ -134,6 +134,24 @@ def test_sintel_dataset_and_loader(tmp_path):
     batch2 = next(it)
     assert not np.array_equal(batch["image1"], batch2["image1"])
 
+    # skip_batches fast-forwards the deterministic stream: epochs(skip_batches=1)
+    # starts exactly where batch 2 would be
+    skipped = next(loader.epochs(skip_batches=1))
+    np.testing.assert_array_equal(skipped["image1"], batch2["image1"])
+
+
+def test_prefetch_propagates_producer_errors():
+    from raft_optical_flow_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iter():
+        yield {"x": np.ones((2, 2), np.float32)}
+        raise OSError("decode failed")
+
+    it = prefetch_to_device(bad_iter(), size=2)
+    next(it)
+    with pytest.raises(OSError, match="decode failed"):
+        next(it)
+
 
 def test_grain_loader(tmp_path):
     pytest.importorskip("grain")

@@ -58,6 +58,28 @@ def test_checkpoint_manager_best_and_periodic(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.full((4, 4), 9.0))
 
+    # best_metric survives manager re-construction (resume must not clobber
+    # the historical best with a worse first validation)
+    mgr2 = CheckpointManager(str(tmp_path), keep_every=10)
+    assert mgr2.best_metric == 3.0
+    mgr2.save(_make_state(4.0), step=13, metric=4.0)  # worse than 3.0 -> not best
+    best = restore_train_state(str(tmp_path), "best", _make_state(0.0))
+    np.testing.assert_array_equal(np.asarray(best.params["w"]), np.full((4, 4), 2.0))
+
+
+def test_best_checkpoint_metric_selects_epe_only():
+    from raft_optical_flow_tpu.utils.checkpoint import best_checkpoint_metric
+
+    # validate_sintel-style dict: accuracies (higher=better) must be ignored
+    res = {"clean": 2.24, "clean_1px": 0.84, "clean_3px": 0.93, "clean_5px": 0.95}
+    assert best_checkpoint_metric(res) == 2.24
+    # KITTI: F1 ignored, EPE picked
+    assert best_checkpoint_metric({"kitti-epe": 5.1, "kitti-f1": 17.4}) == 5.1
+    # multiple EPE entries -> min over them
+    assert best_checkpoint_metric({"clean": 2.0, "final": 3.5, "final_1px": 0.7}) == 2.0
+    # nothing lower-is-better -> None (no best tracking)
+    assert best_checkpoint_metric({"clean_1px": 0.9}) is None
+
 
 def test_stablehlo_export_roundtrip(tmp_path):
     def fn(x, y):
