@@ -56,6 +56,41 @@ def param_count(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+def param_bytes(params) -> int:
+    return sum(
+        int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+        for x in jax.tree.leaves(params)
+    )
+
+
+def memory_analysis(compiled) -> Dict:
+    """Peak-memory columns from a compiled executable (no execution needed).
+
+    The reference's `compare_models` reports model memory + peak GPU memory
+    (`IFNET_m.py:373-521`); the XLA-native equivalent is the compiler's memory
+    analysis of the lowered executable: temp (activation workspace), argument,
+    and output buffer sizes. Returns {} when the backend doesn't expose it.
+    """
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:
+        return {}
+    if ma is None:
+        return {}
+    out = {}
+    for key, attr in (
+        ("temp_mb", "temp_size_in_bytes"),
+        ("arg_mb", "argument_size_in_bytes"),
+        ("output_mb", "output_size_in_bytes"),
+    ):
+        val = getattr(ma, attr, None)
+        if val is not None:
+            out[key] = round(float(val) / 2**20, 2)
+    if out:
+        out["peak_hbm_mb"] = round(sum(out.values()), 2)
+    return out
+
+
 def compare_models(height: int = 256, width: int = 448, num_reps: int = 5) -> Dict:
     """Params + latency across the model zoo (`IFNET_m.py:373-521` role)."""
     results = {}
@@ -73,12 +108,15 @@ def compare_models(height: int = 256, width: int = 448, num_reps: int = 5) -> Di
         ms, _ = time_fn(f, img, img, num_reps=num_reps)
         entry = {
             "params": param_count(variables["params"]),
+            "model_mb": round(param_bytes(variables["params"]) / 2**20, 2),
             "latency_ms": round(ms, 2),
         }
         try:  # XLA cost analysis = the thop-FLOPs role (`IFNET_m.py:373-521`)
-            ca = f.lower(img, img).compile().cost_analysis()
+            compiled = f.lower(img, img).compile()
+            ca = compiled.cost_analysis()
             if ca and "flops" in ca:
                 entry["gflops"] = round(float(ca["flops"]) / 1e9, 2)
+            entry.update(memory_analysis(compiled))
         except Exception:
             pass
         results[name] = entry
