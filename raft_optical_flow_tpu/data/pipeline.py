@@ -52,7 +52,25 @@ class FlowDataLoader:
         drop_last: bool = True,
         seed: int = 1234,
         prefetch_batches: int = 2,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """batch_size is the GLOBAL batch size. With num_shards > 1 (multi-host:
+        num_shards=jax.process_count(), shard_id=jax.process_index()), every
+        process walks the same deterministic global index stream but loads only
+        its contiguous batch_size/num_shards slice of each global batch — the
+        global batch content and per-sample augmentation RNG are independent of
+        the process count, so a multi-host run reproduces the single-host run
+        exactly."""
+        if num_shards > 1:
+            if batch_size % num_shards:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by num_shards {num_shards}"
+                )
+            if not drop_last:
+                raise ValueError("num_shards > 1 requires drop_last=True")
+        if not 0 <= shard_id < num_shards:
+            raise ValueError(f"shard_id {shard_id} out of range for {num_shards} shards")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,6 +78,9 @@ class FlowDataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.local_batch_size = batch_size // num_shards
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -87,30 +108,40 @@ class FlowDataLoader:
         continues on the exact samples it would have seen — the reference's
         resume restarts the shuffled stream from scratch instead.
         """
+        local_bs = self.local_batch_size
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = collections.deque()
-            max_pending = self.prefetch_batches * self.batch_size
+            max_pending = self.prefetch_batches * local_bs
 
             def index_stream():
+                # Walk the global index stream; yield only this shard's slice of
+                # each global batch (the whole stream when num_shards == 1).
                 e = 0
                 skip = skip_batches * self.batch_size
+                lo = self.shard_id * local_bs
                 while True:
                     idx = self._epoch_indices(e)
                     if skip >= len(idx):
                         skip -= len(idx)
-                    else:
+                    elif self.num_shards == 1:
                         for i in idx[skip:]:
                             yield e, i
+                        skip = 0
+                    else:
+                        # skip is a whole number of batches here (skip_batches
+                        # counts batches; drop_last makes epochs batch-aligned)
+                        for b0 in range(skip, len(idx), self.batch_size):
+                            for i in idx[b0 + lo : b0 + lo + local_bs]:
+                                yield e, i
                         skip = 0
                     e += 1
 
             stream = index_stream()
-            batch_futures = []
             while True:
-                while len(pending) < max_pending + self.batch_size:
+                while len(pending) < max_pending + local_bs:
                     e, i = next(stream)
                     pending.append(pool.submit(self._load_one, e, i))
-                batch = [pending.popleft().result() for _ in range(self.batch_size)]
+                batch = [pending.popleft().result() for _ in range(local_bs)]
                 yield _collate(batch)
 
     def __iter__(self):

@@ -12,5 +12,12 @@ from raft_optical_flow_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from raft_optical_flow_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "distributed",
+]

@@ -71,6 +71,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a pytree of [N, ...] arrays with N sharded over `axis`."""
+    """Shard a pytree of [N, ...] arrays with N split over `axis`.
+
+    Single-process: a device_put with the named sharding. Multi-process: the
+    pytree holds each host's local slice of the global batch (per-host input
+    sharding, data/pipeline.py), and the global array is assembled with
+    `jax.make_array_from_process_local_data` — the SPMD replacement for
+    DataParallel's scatter (`train.py:172`) that also spans hosts.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
