@@ -1,4 +1,8 @@
-"""On-demand blockwise correlation (alt_cuda_corr equivalent), TPU-native.
+"""On-demand blockwise correlation (alt_cuda_corr equivalent) — XLA path + dispatcher.
+
+The native TPU implementation is the Pallas kernel set in corr_ondemand_pallas.py;
+this module keeps the XLA blockwise formulation as the CPU path and the semantic
+oracle for kernel tests, and `ondemand_corr_pyramid` dispatches between them.
 
 Semantics parity: `alt_cuda_corr/correlation_kernel.cu:19-119` via
 `core/corr.py:130-198` (AlternateCorrBlock) — for each query pixel q and pyramid
@@ -196,12 +200,34 @@ def ondemand_corr_pyramid(
     coords: jax.Array,
     radius: int,
     qt: int = 128,
-    interpret: bool | None = None,  # kept for API compat; implementation is XLA
+    interpret: bool | None = None,
+    impl: str | None = None,
+    precision=None,
 ) -> jax.Array:
-    """On-demand multi-level windowed correlation.
+    """On-demand multi-level windowed correlation (dispatcher).
 
     fmap1: [B, h, w, C]; fmap2_pyramid: tuple of [B, Hl, Wl, C] (level 0 = full res);
     coords: [B, h, w, 2] level-0 pixel coords. Returns [B, h, w, L*(2r+1)^2].
+
+    Dispatch: on TPU the native Pallas kernels (corr_ondemand_pallas.py, fwd +
+    custom VJP); on CPU this module's XLA blockwise implementation (also the
+    semantic oracle for the kernel tests). interpret=True forces the Pallas
+    kernels in interpreter mode (kernel-logic tests on CPU); impl='xla' forces
+    the XLA path on any backend.
     """
-    del interpret
+    if impl is None:
+        if interpret:
+            impl = "pallas"
+        else:
+            impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from raft_optical_flow_tpu.kernels.corr_ondemand_pallas import (
+            ondemand_corr_pyramid_pallas,
+        )
+
+        kwargs = {} if precision is None else {"precision": precision}
+        return ondemand_corr_pyramid_pallas(
+            fmap1, tuple(fmap2_pyramid), coords, radius,
+            interpret=bool(interpret), **kwargs,
+        )
     return _ondemand(fmap1, tuple(fmap2_pyramid), coords, radius, qt)

@@ -1,0 +1,347 @@
+"""Pallas TPU kernel: on-demand blockwise correlation (alt_cuda_corr equivalent).
+
+Semantics parity: `alt_cuda_corr/correlation_kernel.cu:19-119` via
+`core/corr.py:130-198` (AlternateCorrBlock) — for each query pixel q and pyramid
+level l, the (2r+1)^2-window correlation
+
+    out[q, k] = <fmap1[q], bilinear(fmap2_l, coords(q)/2^l + offset_k)> / sqrt(C)
+
+computed directly from the feature maps: the HW x HW all-pairs volume never exists,
+in HBM *or* in VMEM. This is the native-kernel replacement for the XLA `lax.map`
+stand-in in corr_ondemand.py (which remains the CPU path and semantic oracle).
+
+Kernel design (per level, grid (B, Q/QT); fmap2 resident in VMEM across query tiles):
+
+  1. The level's fmap2 arrives zero-padded to lane-aligned width Wp and flattened to
+     [Hl*Wp, C]; its BlockSpec index is constant in the query-tile grid dimension, so
+     Pallas keeps it in VMEM across all Q/QT steps — one HBM read per (batch, level),
+     the analogue of the CUDA kernel's shared-memory staging of fmap2
+     (`correlation_kernel.cu:38-41`).
+  2. Correlation rows for the tile: rows[q, h, w] = <f1[q], f2_l[h, w]> as chunked
+     2-D MXU matmuls [QT, C] x [C, ch*Wp] (Mosaic rejects rank-2 x rank-3
+     contractions), written into a [QT, Hl, Wp] VMEM scratch via static lane slices.
+     Zero-padded columns w in [Wl, Wp) produce zero rows, which is exactly
+     grid_sample's zero padding for out-of-range taps.
+  3. Bilinear window sampling factorizes into two query-batched selector matmuls
+     (same separable triangle-kernel formulation as kernels/corr_lookup.py):
+         win[q, a, b] = sum_h Y[q, b, h] * sum_w X[q, a, w] * rows[q, h, w]
+     with X[q][a, w] = tri(w - (cx_q - r + a)), tri(t) = max(0, 1 - |t|). No gathers,
+     no dynamic addressing — MXU work batched over every query in the tile.
+
+Backward (custom VJP) re-runs the same tiling with the transposed selectors:
+d_rows = X^T g Y per tile, then df1 = d_rows . f2 (one kernel) and
+df2 += d_rows^T . f1 accumulated across query tiles into a VMEM-resident output
+block (flash-attention dK/dV pattern). The coords gradient is zero — the reference
+CUDA kernel never computes it either (`correlation_kernel.cu:307`) and RAFT
+stop-gradients coords before every lookup (`core/raft.py:216`).
+
+Peak memory: the materialized path stores B * (HW)^2 * 4 bytes (~200 MB at Sintel
+size, growing quadratically); this path's extra footprint is one [QT, Hl, Wp] VMEM
+scratch per tile and zero HBM beyond the feature pyramid — the same trade the
+reference buys with CUDA ("somewhat slower, significantly less GPU memory",
+README.md:75-80), at MXU speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tri_kq(centers, dim: int, radius: int):
+    """Selector S[q, k, d] = tri(d - (centers[q] - r + k)). -> [QT, K, dim] fp32."""
+    qt = centers.shape[0]
+    K = 2 * radius + 1
+    k = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 1).astype(jnp.float32)
+    d = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 2).astype(jnp.float32)
+    t = d - (centers[:, None, None] - float(radius) + k)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _tri_qk(centers, dim: int, radius: int):
+    """Selector S[q, d, k] = tri(d - (centers[q] - r + k)). -> [QT, dim, K] fp32."""
+    qt = centers.shape[0]
+    K = 2 * radius + 1
+    d = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 1).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 2).astype(jnp.float32)
+    t = d - (centers[:, None, None] - float(radius) + k)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _rows_into_scratch(f1, f2_ref, rows_ref, Hl, Wp, precision):
+    """rows_ref[q, h, w] = <f1[q], f2[h*Wp + w]> via chunked 2-D matmuls."""
+    ch = max(1, min(Hl, 2048 // Wp))  # h-rows per MXU chunk (~2048 output lanes)
+    for h0 in range(0, Hl, ch):
+        hn = min(ch, Hl - h0)
+        seg = jax.lax.dot_general(
+            f1, f2_ref[0, h0 * Wp : (h0 + hn) * Wp, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [QT, hn*Wp]
+        for i in range(hn):
+            rows_ref[:, h0 + i, :] = seg[:, i * Wp : (i + 1) * Wp]
+
+
+def _fwd_level_kernel(coords_ref, f1_ref, f2_ref, out_ref, rows_ref,
+                      *, radius, scale, Hl, Wp, precision):
+    """One grid step: QT queries of one batch element at one pyramid level.
+
+    coords_ref: VMEM [1, QT, 2] level-0 (x, y) centers (scaled by `scale` here).
+    f1_ref:     VMEM [1, QT, C].
+    f2_ref:     VMEM [1, Hl*Wp, C] — constant index in the query grid dim (resident).
+    out_ref:    VMEM [1, QT, K, K] window, [dx, dy] order.
+    rows_ref:   VMEM scratch [QT, Hl, Wp].
+    """
+    f1 = f1_ref[0]
+    _rows_into_scratch(f1, f2_ref, rows_ref, Hl, Wp, precision)
+    cx = coords_ref[0, :, 0] * scale
+    cy = coords_ref[0, :, 1] * scale
+    X = _tri_kq(cx, Wp, radius)  # [QT, K, Wp]
+    Y = _tri_kq(cy, Hl, radius)  # [QT, K, Hl]
+    # u[q, a, h] = sum_w X[q, a, w] * rows[q, h, w]
+    u = jax.lax.dot_general(
+        X, rows_ref[:],
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # win[q, a, b] = sum_h u[q, a, h] * Y[q, b, h]  -> dx-major, reference order
+    out_ref[0] = jax.lax.dot_general(
+        u, Y,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _drows_into_scratch(coords_ref, g_ref, drows_ref, *, radius, scale, Hl, Wp,
+                        precision):
+    """drows_ref[q, h*Wp+w] = sum_{a,b} X[q,w,a] Y[q,h,b] g[q,a,b] (flattened)."""
+    g = g_ref[0]  # [QT, K, K] (a, b)
+    cx = coords_ref[0, :, 0] * scale
+    cy = coords_ref[0, :, 1] * scale
+    X = _tri_qk(cx, Wp, radius)  # [QT, Wp, K]
+    Y = _tri_qk(cy, Hl, radius)  # [QT, Hl, K]
+    # t[q, h, a] = sum_b Y[q, h, b] * g[q, a, b]
+    t = jax.lax.dot_general(
+        Y, g, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    # d3[q, h, w] = sum_a t[q, h, a] * X[q, w, a]
+    d3 = jax.lax.dot_general(
+        t, X, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    for h in range(Hl):
+        drows_ref[:, h * Wp : (h + 1) * Wp] = d3[:, h, :]
+
+
+def _bwd_df1_kernel(coords_ref, g_ref, f2_ref, df1_ref, drows_ref,
+                    *, radius, scale, Hl, Wp, precision):
+    """df1[q, c] = sum_{hw} d_rows[q, hw] * f2[hw, c]."""
+    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+                        radius=radius, scale=scale, Hl=Hl, Wp=Wp,
+                        precision=precision)
+    df1_ref[0] = jax.lax.dot_general(
+        drows_ref[:], f2_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref,
+                    *, radius, scale, Hl, Wp, precision):
+    """df2[hw, c] += sum_q d_rows[q, hw] * f1[q, c], accumulated across q tiles.
+
+    The accumulation runs in h-row chunks written straight into the (VMEM-resident)
+    output block — one full-size `contrib` value would double the block's footprint
+    and blow the 16 MB VMEM scope at level-0 Sintel sizes.
+    """
+    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+                        radius=radius, scale=scale, Hl=Hl, Wp=Wp,
+                        precision=precision)
+    f1 = f1_ref[0]
+    first = pl.program_id(1) == 0
+    ch = max(1, min(Hl, 2048 // Wp))  # h-rows per chunk (~2 MB fp32 at C=256)
+    for h0 in range(0, Hl, ch):
+        hn = min(ch, Hl - h0)
+        sl = slice(h0 * Wp, (h0 + hn) * Wp)
+        contrib = jax.lax.dot_general(
+            drows_ref[:, sl], f1,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [hn*Wp, C]
+
+        @pl.when(first)
+        def _():
+            df2_ref[0, sl, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            df2_ref[0, sl, :] = df2_ref[0, sl, :] + contrib
+
+
+def _pad_q(x, qt):
+    """[B, Q, ...] zero-padded so Q divides qt."""
+    pad = (-x.shape[1]) % qt
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    return x
+
+
+def _level_geometry(f2):
+    Hl, Wl = f2.shape[1], f2.shape[2]
+    Wp = _ceil_to(Wl, 128)
+    return Hl, Wl, Wp
+
+
+def _flatten_f2(f2, Wp):
+    """[B, Hl, Wl, C] -> [B, Hl*Wp, C] fp32, zero-padded width (XLA side, free)."""
+    B, Hl, Wl, C = f2.shape
+    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - Wl), (0, 0)))
+    return f2p.reshape(B, Hl * Wp, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ondemand_pallas(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
+                     precision, interpret):
+    return _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret)
+
+
+def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
+    B, h, w, C = fmap1.shape
+    Q = h * w
+    K = 2 * radius + 1
+    f1 = _pad_q(fmap1.reshape(B, Q, C).astype(jnp.float32), qt)
+    cf = _pad_q(coords.reshape(B, Q, 2).astype(jnp.float32), qt)
+    Qp = f1.shape[1]
+
+    outs = []
+    for lvl, f2 in enumerate(fmap2_pyramid):
+        Hl, Wl, Wp = _level_geometry(f2)
+        f2flat = _flatten_f2(f2, Wp)
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_level_kernel, radius=radius, scale=0.5**lvl,
+                Hl=Hl, Wp=Wp, precision=precision,
+            ),
+            grid=(B, Qp // qt),
+            in_specs=[
+                pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, qt, C), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((qt, Hl, Wp), jnp.float32)],
+            interpret=interpret,
+        )(cf, f1, f2flat)
+        outs.append(out[:, :Q].reshape(B, Q, K * K))
+
+    res = jnp.concatenate(outs, axis=-1) * (1.0 / jnp.sqrt(jnp.float32(C)))
+    return res.reshape(B, h, w, len(fmap2_pyramid) * K * K)
+
+
+def _ondemand_fwd(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
+                  precision, interpret):
+    out = _ondemand_pallas(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
+                           precision, interpret)
+    return out, (fmap1, fmap2_pyramid, coords)
+
+
+def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, residuals, g):
+    fmap1, fmap2_pyramid, coords = residuals
+    B, h, w, C = fmap1.shape
+    Q = h * w
+    K = 2 * radius + 1
+    scale = 1.0 / jnp.sqrt(jnp.float32(C))
+
+    f1 = _pad_q(fmap1.reshape(B, Q, C).astype(jnp.float32), qt_bwd)
+    cf = _pad_q(coords.reshape(B, Q, 2).astype(jnp.float32), qt_bwd)
+    gf = _pad_q((g.reshape(B, Q, -1) * scale).astype(jnp.float32), qt_bwd)
+    Qp = f1.shape[1]
+
+    df1 = jnp.zeros((B, Qp, C), jnp.float32)
+    df2s = []
+    for lvl, f2 in enumerate(fmap2_pyramid):
+        Hl, Wl, Wp = _level_geometry(f2)
+        f2flat = _flatten_f2(f2, Wp)
+        g_l = gf[..., lvl * K * K : (lvl + 1) * K * K].reshape(B, Qp, K, K)
+        common = dict(radius=radius, scale=0.5**lvl, Hl=Hl, Wp=Wp,
+                      precision=precision)
+
+        df1_l = pl.pallas_call(
+            functools.partial(_bwd_df1_kernel, **common),
+            grid=(B, Qp // qt_bwd),
+            in_specs=[
+                pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Qp, C), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+            interpret=interpret,
+        )(cf, g_l, f2flat)
+        df1 = df1 + df1_l
+
+        df2p = pl.pallas_call(
+            functools.partial(_bwd_df2_kernel, **common),
+            grid=(B, Qp // qt_bwd),
+            in_specs=[
+                pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Hl * Wp, C), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+            interpret=interpret,
+        )(cf, g_l, f1)
+        df2s.append(
+            df2p.reshape(B, Hl, Wp, C)[:, :, :Wl].astype(f2.dtype)
+        )
+
+    df1 = df1[:, :Q].reshape(B, h, w, C).astype(fmap1.dtype)
+    return df1, tuple(df2s), jnp.zeros_like(coords)
+
+
+_ondemand_pallas.defvjp(_ondemand_fwd, _ondemand_bwd)
+
+
+def ondemand_corr_pyramid_pallas(
+    fmap1: jax.Array,
+    fmap2_pyramid: Sequence[jax.Array],
+    coords: jax.Array,
+    radius: int,
+    qt: int = 64,
+    qt_bwd: int = 32,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """On-demand multi-level windowed correlation, Pallas TPU kernels (fwd + VJP).
+
+    fmap1: [B, h, w, C]; fmap2_pyramid: tuple of [B, Hl, Wl, C] (level 0 = 1/8 res);
+    coords: [B, h, w, 2] level-0 pixel coords (x, y). Returns [B, h, w, L*(2r+1)^2].
+    qt / qt_bwd: query-tile sizes (bounded by VMEM: the level-0 fmap2 block plus the
+    [qt, Hl, Wp] rows scratch must fit the ~16 MB scope).
+    precision: MXU precision for the feature contractions (HIGHEST = fp32-faithful
+    like the reference's fp32-only CUDA kernel; DEFAULT = bf16 passes, ~6x faster,
+    used under the bf16 policy like the materialized volume path).
+    """
+    return _ondemand_pallas(
+        fmap1, tuple(fmap2_pyramid), coords, radius, qt, qt_bwd, precision,
+        bool(interpret),
+    )

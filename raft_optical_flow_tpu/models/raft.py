@@ -63,19 +63,24 @@ class RAFTConfig:
         return 64 if self.small else 128
 
 
-def _ondemand_corr_lookup(fmap1, fmap2_pyramid, coords, radius, corr_impl="pallas"):
+def _ondemand_corr_lookup(
+    fmap1, fmap2_pyramid, coords, radius, corr_impl="pallas", precision=None
+):
     """On-demand multi-level correlation: alt_cuda_corr equivalent.
 
     Computes <fmap1[q], fmap2_l[coords_l(q) + offset]> for the (2r+1)^2 window without
     materializing the all-pairs volume (`core/corr.py:130-198`). Channel order is
     dx-major, the same order CorrBlock produces — so both paths are interchangeable
-    for trained weights. Implemented by the blockwise-recompute module in
-    kernels/corr_ondemand.py (flash-style query tiling, custom VJP).
+    for trained weights. On TPU this runs the native Pallas kernels
+    (kernels/corr_ondemand_pallas.py, fmap2 VMEM-resident, fwd + custom VJP); on CPU
+    the XLA blockwise implementation (kernels/corr_ondemand.py).
     """
-    del corr_impl  # one implementation; it is XLA-expressible and fast on both backends
     from raft_optical_flow_tpu.kernels.corr_ondemand import ondemand_corr_pyramid
 
-    return ondemand_corr_pyramid(fmap1, fmap2_pyramid, coords, radius)
+    impl = "xla" if corr_impl == "xla" else None
+    return ondemand_corr_pyramid(
+        fmap1, fmap2_pyramid, coords, radius, impl=impl, precision=precision
+    )
 
 
 class RAFTIteration(nn.Module):
@@ -98,8 +103,16 @@ class RAFTIteration(nn.Module):
 
         if cfg.alternate_corr:
             fmap1, f2_pyramid = corr_state
+            # Same precision policy as the materialized volume build: bf16 MXU
+            # passes under the mixed-precision policy, fp32-faithful otherwise.
+            precision = (
+                jax.lax.Precision.DEFAULT
+                if cfg.compute_dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            )
             corr = _ondemand_corr_lookup(
-                fmap1, f2_pyramid, coords1, cfg.corr_radius, cfg.corr_impl
+                fmap1, f2_pyramid, coords1, cfg.corr_radius, cfg.corr_impl,
+                precision=precision,
             )
         elif cfg.corr_impl == "pallas":
             from raft_optical_flow_tpu.kernels.corr_lookup import (
