@@ -423,6 +423,33 @@ def random_shift(key, batch, max_shift_height=32, max_shift_width=32):
     return shifted, jnp.stack([sh, sw], axis=-1)
 
 
+def selfsup_crop_transforms(crop_height: int, crop_width: int):
+    """Per-level selfsup transforms: a fixed border crop (student frame).
+
+    UFlow's self-supervision (`uflow_loss_pytorch.py:540-585` usage): a teacher
+    runs on the full images, a student on a cropped view; the teacher's flow —
+    transformed into the student frame by these functions — supervises the
+    student where the teacher is confident. A fixed crop keeps everything
+    static-shaped under jit; flow VALUES are unchanged by cropping (the
+    is_flow flag exists for transforms that rescale, e.g. zoom).
+
+    Returns [fn_level0, fn_level1, fn_level2]; fn(x, i_or_ij, is_flow) crops x
+    by crop/2^level on each side.
+    """
+
+    def make_fn(level):
+        ch = crop_height >> level
+        cw = crop_width >> level
+
+        def fn(x, i_or_ij=None, is_flow=False):
+            del i_or_ij, is_flow
+            return x[:, ch : x.shape[1] - ch, cw : x.shape[2] - cw]
+
+        return fn
+
+    return [make_fn(level) for level in range(3)]
+
+
 # ------------------------------------------------------------------- main losses
 
 

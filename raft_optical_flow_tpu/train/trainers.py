@@ -177,6 +177,96 @@ def simple_flow_unsup_train_step(state, batch, *, config: SimpleFlowConfig):
     return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
 
 
+def uflow_unsup_train_step(
+    state,
+    batch,
+    *,
+    config=None,
+    weights: Optional[Dict[str, float]] = None,
+    selfsup_crop: int = 8,
+    iters: int = 4,
+    occlusion_estimation: str = "wang",
+):
+    """UFlow-style unsupervised step on RAFT-small: census + edge-aware smooth2 +
+    self-supervision (`uflow_loss_pytorch.py:643-795`, the loss library the
+    reference ports but never wires into a driver).
+
+    Student/teacher scheme: the teacher flows are the main (full-frame) passes
+    with stopped gradients; the student ("transformed-student") re-runs the model
+    on a fixed border crop of the frames, and the teacher's flow — cropped into
+    the student frame by losses.uflow.selfsup_crop_transforms — supervises it
+    where forward-backward consistency says the teacher is reliable.
+    """
+    from raft_optical_flow_tpu.losses import uflow
+    from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
+
+    config = config or RAFTConfig(small=True)
+    weights = weights or {
+        "census": 1.0,
+        "smooth2": 2.0,
+        "edge_constant": 150.0,
+        "selfsup": 0.3,
+    }
+    model = RAFT(config)
+    img1, img2 = batch["image1"], batch["image2"]  # 0-255 (RAFT convention)
+    c = selfsup_crop
+    assert c % 4 == 0, "selfsup_crop must divide the 3-level pyramid"
+    img1_crop = img1[:, c:-c, c:-c]
+    img2_crop = img2[:, c:-c, c:-c]
+    transforms = uflow.selfsup_crop_transforms(c, c)
+
+    def pyramid(flow):
+        """[full, /2, /4] resize pyramid (UFlow losses consume 3 levels)."""
+        _, H, W, _ = flow.shape
+        return [
+            flow,
+            uflow.resize(flow, H // 2, W // 2, is_flow=True),
+            uflow.resize(flow, H // 4, W // 4, is_flow=True),
+        ]
+
+    def loss_fn(params):
+        variables = {"params": params}
+
+        def run(a, b):
+            preds = model.apply(variables, a, b, iters=iters, train=True)
+            return preds[-1]
+
+        flows = {}
+        # main passes; photometric terms use these ("augmented-student")
+        fw, bw = run(img1, img2), run(img2, img1)
+        flows[(0, 1, "augmented-student")] = pyramid(fw)
+        flows[(1, 0, "augmented-student")] = pyramid(bw)
+        # teacher = the same flows with gradients stopped (no photometric aug)
+        flows[(0, 1, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(0, 1, "augmented-student")]]
+        flows[(1, 0, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(1, 0, "augmented-student")]]
+        # student on the cropped view
+        flows[(0, 1, "transformed-student")] = pyramid(run(img1_crop, img2_crop))
+        flows[(1, 0, "transformed-student")] = pyramid(run(img2_crop, img1_crop))
+
+        warps, valid_masks, _, occ_masks, fb_sq_diff, fb_sum_sq = (
+            uflow.compute_warps_and_occlusion(flows, occlusion_estimation)
+        )
+        images = {0: img1 / 255.0, 1: img2 / 255.0}
+        aug_warps = {k: v for k, v in warps.items() if k[2] == "augmented-student"}
+        warped_images = uflow.apply_warps_stop_grad(images, aug_warps, level=0)
+
+        losses = uflow.compute_loss(
+            weights, images, flows, warps, valid_masks, occ_masks,
+            fb_sq_diff, fb_sum_sq, warped_images,
+            selfsup_transform_fns=transforms,
+        )
+        metrics = {k: v for k, v in losses.items() if k != "total"}
+        if "flow" in batch:  # EPE vs ground truth, monitoring only
+            epe = jnp.sqrt(jnp.sum((fw - batch["flow"]) ** 2, -1))
+            vmask = batch.get("valid", jnp.ones_like(epe))
+            metrics["epe"] = jnp.sum(epe * vmask) / jnp.maximum(jnp.sum(vmask), 1.0)
+        return losses["total"], metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    return new_state, dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+
+
 def ifnet_train_step(state, batch, *, unsupervised: bool = False):
     """IFNet step (`IFNET_train.py:256,288-293`): supervised picks
     flow[..., 2:4] as the prediction; unsupervised uses laploss on the cascade."""
@@ -217,6 +307,9 @@ class FlowTrainer:
         "simple_flow_unsup": simple_flow_unsup_train_step,
         "ifnet": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=False),
         "ifnet_unsup": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=True),
+        "raft_uflow_unsup": lambda s, b, config=None: uflow_unsup_train_step(
+            s, b, config=config
+        ),
     }
 
     def __init__(
@@ -235,11 +328,16 @@ class FlowTrainer:
         self.model_kind = model_kind
         base = model_kind.replace("_unsup", "")
         if model_config is None:
-            model_config = {
-                "lfn3": LFN3Config(),
-                "simple_flow": SimpleFlowConfig(),
-                "ifnet": None,
-            }[base]
+            if base == "raft_uflow":
+                from raft_optical_flow_tpu.models.raft import RAFTConfig
+
+                model_config = RAFTConfig(small=True)
+            else:
+                model_config = {
+                    "lfn3": LFN3Config(),
+                    "simple_flow": SimpleFlowConfig(),
+                    "ifnet": None,
+                }[base]
         self.model_config = model_config
         self.optim = optim or OptimConfig(adamw=(base != "lfn3"))
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -254,6 +352,11 @@ class FlowTrainer:
         elif base == "simple_flow":
             model = SimpleFlowNet(model_config)
             variables = model.init(self.rng, dummy, dummy)
+        elif base == "raft_uflow":
+            from raft_optical_flow_tpu.models.raft import RAFT
+
+            model = RAFT(model_config)
+            variables = model.init(self.rng, dummy, dummy, iters=1, test_mode=True)
         else:
             model = IFNet()
             variables = model.init(self.rng, dummy, dummy)

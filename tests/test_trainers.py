@@ -37,6 +37,40 @@ def test_one_train_step(kind):
     assert float(metrics["loss"]) > 0
 
 
+def test_uflow_selfsup_train_step():
+    """UFlow census+smooth+selfsup trainer (raft_uflow_unsup): the selfsup term
+    must be live (finite, gradients flowing through the student pass)."""
+    rng = np.random.RandomState(2)
+    trainer = FlowTrainer("raft_uflow_unsup", image_size=(48, 64),
+                          optim=OptimConfig(lr=1e-4, step_size=100))
+    metrics = trainer.train_step(_batch(rng, H=48, W=64))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(metrics["grad_norm"]) > 0
+    assert "selfsup" in metrics and "census" in metrics and "smooth2" in metrics
+    assert float(metrics["epe"]) > 0  # gt flow in batch -> monitoring EPE
+
+
+def test_warped_pair_batches_exact_flow():
+    """Synthetic warped pairs: image1 resampled by the stored flow must match
+    image2 where valid (the gt flow is exact by construction)."""
+    from raft_optical_flow_tpu.data.synthetic import warped_pair_batches
+    from raft_optical_flow_tpu.ops.grid import bilinear_sampler
+    from raft_optical_flow_tpu.ops.grid import coords_grid
+
+    batch = next(warped_pair_batches(2, crop=(32, 48), max_flow=4.0, seed=3))
+    img1 = jnp.asarray(batch["image1"])
+    img2 = jnp.asarray(batch["image2"])
+    flow = jnp.asarray(batch["flow"])
+    coords = coords_grid(2, 32, 48) + flow
+    resampled = bilinear_sampler(img2, coords[:, :, :, None], padding="border")[
+        :, :, :, 0
+    ]
+    err = np.abs(np.asarray(resampled) - np.asarray(img1))
+    # bilinear-of-bilinear blur: small mean error, bounded max
+    assert err.mean() < 3.0 and np.median(err) < 1.0
+
+
 def test_unsupervised_loss_values():
     rng = np.random.RandomState(1)
     img1 = jnp.asarray(rng.uniform(0, 1, (1, 32, 48, 3)), jnp.float32)
