@@ -57,23 +57,27 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _tri_kq(centers, dim: int, radius: int):
-    """Selector S[q, k, d] = tri(d - (centers[q] - r + k)). -> [QT, K, dim] fp32."""
+def _tri_kq(centers, dim: int, radius: int, start=0):
+    """Selector S[q, k, d] = tri((start + d) - (centers[q] - r + k)).
+
+    -> [QT, K, dim] fp32. `start` offsets the d axis (streaming h-chunks); it may
+    be a traced scalar.
+    """
     qt = centers.shape[0]
     K = 2 * radius + 1
     k = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 1).astype(jnp.float32)
     d = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 2).astype(jnp.float32)
-    t = d - (centers[:, None, None] - float(radius) + k)
+    t = (d + start) - (centers[:, None, None] - float(radius) + k)
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _tri_qk(centers, dim: int, radius: int):
-    """Selector S[q, d, k] = tri(d - (centers[q] - r + k)). -> [QT, dim, K] fp32."""
+def _tri_qk(centers, dim: int, radius: int, start=0):
+    """Selector S[q, d, k] = tri((start + d) - (centers[q] - r + k)). -> [QT, dim, K]."""
     qt = centers.shape[0]
     K = 2 * radius + 1
     d = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 1).astype(jnp.float32)
     k = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 2).astype(jnp.float32)
-    t = d - (centers[:, None, None] - float(radius) + k)
+    t = (d + start) - (centers[:, None, None] - float(radius) + k)
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
@@ -124,14 +128,44 @@ def _fwd_level_kernel(coords_ref, f1_ref, f2_ref, out_ref, rows_ref,
     )
 
 
+def _fwd_level_stream_kernel(coords_ref, f1_ref, f2c_ref, out_ref, rows_ref,
+                             *, radius, scale, CH, Wp, precision):
+    """Streaming variant: grid (B, nH, nQ); one h-chunk of fmap2 per step.
+
+    Used when a level's fmap2 exceeds the VMEM residency budget (frames beyond
+    ~Sintel size). The chunk block's index is constant in the inner q dimension,
+    so each chunk is DMA'd once and swept over all query tiles; every (h, q)
+    step writes its own PARTIAL window [1, 1, QT, K, K] (out-of-range rows
+    select zero-padded fmap2 -> zero contribution), and the caller sums over the
+    nH axis in XLA. Memory stays O(chunk); the cost is the nH-fold re-read of
+    f1/coords and the partial buffer — feasibility at resolutions where the
+    materialized volume cannot exist at all.
+    """
+    h0 = pl.program_id(1) * CH
+    f1 = f1_ref[0]
+    _rows_into_scratch(f1, f2c_ref, rows_ref, CH, Wp, precision)
+    cx = coords_ref[0, :, 0] * scale
+    cy = coords_ref[0, :, 1] * scale
+    X = _tri_kq(cx, Wp, radius)            # [QT, K, Wp]
+    Y = _tri_kq(cy, CH, radius, start=h0)  # [QT, K, CH] (global row offsets)
+    u = jax.lax.dot_general(
+        X, rows_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out_ref[0, 0] = jax.lax.dot_general(
+        u, Y, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
 def _drows_into_scratch(coords_ref, g_ref, drows_ref, *, radius, scale, Hl, Wp,
-                        precision):
+                        precision, h_start=0):
     """drows_ref[q, h*Wp+w] = sum_{a,b} X[q,w,a] Y[q,h,b] g[q,a,b] (flattened)."""
     g = g_ref[0]  # [QT, K, K] (a, b)
     cx = coords_ref[0, :, 0] * scale
     cy = coords_ref[0, :, 1] * scale
-    X = _tri_qk(cx, Wp, radius)  # [QT, Wp, K]
-    Y = _tri_qk(cy, Hl, radius)  # [QT, Hl, K]
+    X = _tri_qk(cx, Wp, radius)                   # [QT, Wp, K]
+    Y = _tri_qk(cy, Hl, radius, start=h_start)    # [QT, Hl(chunk), K]
     # t[q, h, a] = sum_b Y[q, h, b] * g[q, a, b]
     t = jax.lax.dot_general(
         Y, g, (((2,), (2,)), ((0,), (0,))),
@@ -193,6 +227,51 @@ def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref,
             df2_ref[0, sl, :] = df2_ref[0, sl, :] + contrib
 
 
+def _bwd_df1_stream_kernel(coords_ref, g_ref, f2c_ref, df1p_ref, drows_ref,
+                           *, radius, scale, CH, Wp, precision):
+    """Streaming df1: grid (B, nH, nQ); partial df1 per h-chunk, summed in XLA."""
+    h0 = pl.program_id(1) * CH
+    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+                        radius=radius, scale=scale, Hl=CH, Wp=Wp,
+                        precision=precision, h_start=h0)
+    df1p_ref[0, 0] = jax.lax.dot_general(
+        drows_ref[:], f2c_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _bwd_df2_stream_kernel(coords_ref, g_ref, f1_ref, df2c_ref, drows_ref,
+                           *, radius, scale, CH, Wp, precision):
+    """Streaming df2: grid (B, nH, nQ), q innermost; the [1, CH*Wp, C] chunk
+    output block is VMEM-resident across the q sweep and accumulated."""
+    h0 = pl.program_id(1) * CH
+    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+                        radius=radius, scale=scale, Hl=CH, Wp=Wp,
+                        precision=precision, h_start=h0)
+    f1 = f1_ref[0]
+    first = pl.program_id(2) == 0
+    ch = max(1, min(CH, 2048 // Wp))
+    for c0 in range(0, CH, ch):
+        cn = min(ch, CH - c0)
+        sl = slice(c0 * Wp, (c0 + cn) * Wp)
+        contrib = jax.lax.dot_general(
+            drows_ref[:, sl], f1,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+        @pl.when(first)
+        def _():
+            df2c_ref[0, sl, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            df2c_ref[0, sl, :] = df2c_ref[0, sl, :] + contrib
+
+
 def _pad_q(x, qt):
     """[B, Q, ...] zero-padded so Q divides qt."""
     pad = (-x.shape[1]) % qt
@@ -201,17 +280,34 @@ def _pad_q(x, qt):
     return x
 
 
+_RESIDENT_BUDGET = 8 * 2**20  # max fmap2 level bytes kept VMEM-resident
+_CHUNK_BUDGET = 3 * 2**20     # streaming h-chunk bytes
+
+
 def _level_geometry(f2):
-    Hl, Wl = f2.shape[1], f2.shape[2]
-    Wp = _ceil_to(Wl, 128)
-    return Hl, Wl, Wp
-
-
-def _flatten_f2(f2, Wp):
-    """[B, Hl, Wl, C] -> [B, Hl*Wp, C] fp32, zero-padded width (XLA side, free)."""
+    """(Hl, Wl, Wp, CH, nH): CH == Hl => resident fast path, else h-streaming."""
     B, Hl, Wl, C = f2.shape
-    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - Wl), (0, 0)))
-    return f2p.reshape(B, Hl * Wp, C)
+    Wp = _ceil_to(Wl, 128)
+    if Hl * Wp * C * 4 <= _RESIDENT_BUDGET:
+        return Hl, Wl, Wp, Hl, 1
+    CH = max(1, _CHUNK_BUDGET // (Wp * C * 4))
+    nH = -(-Hl // CH)
+    return Hl, Wl, Wp, CH, nH
+
+
+def _flatten_f2(f2, Wp, Hpad=None):
+    """[B, Hl, Wl, C] -> [B, Hpad*Wp, C] fp32, zero-padded (XLA side, free).
+
+    Zero-padded rows/columns yield zero correlation rows, which reproduces
+    grid_sample's zero padding for out-of-range taps exactly.
+    """
+    B, Hl, Wl, C = f2.shape
+    Hpad = Hl if Hpad is None else Hpad
+    f2p = jnp.pad(
+        f2.astype(jnp.float32),
+        ((0, 0), (0, Hpad - Hl), (0, Wp - Wl), (0, 0)),
+    )
+    return f2p.reshape(B, Hpad * Wp, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -230,24 +326,46 @@ def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
 
     outs = []
     for lvl, f2 in enumerate(fmap2_pyramid):
-        Hl, Wl, Wp = _level_geometry(f2)
-        f2flat = _flatten_f2(f2, Wp)
-        out = pl.pallas_call(
-            functools.partial(
-                _fwd_level_kernel, radius=radius, scale=0.5**lvl,
-                Hl=Hl, Wp=Wp, precision=precision,
-            ),
-            grid=(B, Qp // qt),
-            in_specs=[
-                pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
-                pl.BlockSpec((1, qt, C), lambda b, q: (b, q, 0)),
-                pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((qt, Hl, Wp), jnp.float32)],
-            interpret=interpret,
-        )(cf, f1, f2flat)
+        Hl, Wl, Wp, CH, nH = _level_geometry(f2)
+        if nH == 1:
+            f2flat = _flatten_f2(f2, Wp)
+            out = pl.pallas_call(
+                functools.partial(
+                    _fwd_level_kernel, radius=radius, scale=0.5**lvl,
+                    Hl=Hl, Wp=Wp, precision=precision,
+                ),
+                grid=(B, Qp // qt),
+                in_specs=[
+                    pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt, C), lambda b, q: (b, q, 0)),
+                    pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt, Hl, Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, f1, f2flat)
+        else:
+            f2flat = _flatten_f2(f2, Wp, Hpad=nH * CH)
+            partials = pl.pallas_call(
+                functools.partial(
+                    _fwd_level_stream_kernel, radius=radius, scale=0.5**lvl,
+                    CH=CH, Wp=Wp, precision=precision,
+                ),
+                grid=(B, nH, Qp // qt),
+                in_specs=[
+                    pl.BlockSpec((1, qt, 2), lambda b, h, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt, C), lambda b, h, q: (b, q, 0)),
+                    pl.BlockSpec((1, CH * Wp, C), lambda b, h, q: (b, h, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, qt, K, K), lambda b, h, q: (b, h, q, 0, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, nH, Qp, K, K), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt, CH, Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, f1, f2flat)
+            out = jnp.sum(partials, axis=1)
         outs.append(out[:, :Q].reshape(B, Q, K * K))
 
     res = jnp.concatenate(outs, axis=-1) * (1.0 / jnp.sqrt(jnp.float32(C)))
@@ -276,43 +394,81 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, residuals, g):
     df1 = jnp.zeros((B, Qp, C), jnp.float32)
     df2s = []
     for lvl, f2 in enumerate(fmap2_pyramid):
-        Hl, Wl, Wp = _level_geometry(f2)
-        f2flat = _flatten_f2(f2, Wp)
+        Hl, Wl, Wp, CH, nH = _level_geometry(f2)
         g_l = gf[..., lvl * K * K : (lvl + 1) * K * K].reshape(B, Qp, K, K)
-        common = dict(radius=radius, scale=0.5**lvl, Hl=Hl, Wp=Wp,
-                      precision=precision)
 
-        df1_l = pl.pallas_call(
-            functools.partial(_bwd_df1_kernel, **common),
-            grid=(B, Qp // qt_bwd),
-            in_specs=[
-                pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
-                pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
-                pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, Qp, C), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
-            interpret=interpret,
-        )(cf, g_l, f2flat)
+        if nH == 1:
+            f2flat = _flatten_f2(f2, Wp)
+            common = dict(radius=radius, scale=0.5**lvl, Hl=Hl, Wp=Wp,
+                          precision=precision)
+            df1_l = pl.pallas_call(
+                functools.partial(_bwd_df1_kernel, **common),
+                grid=(B, Qp // qt_bwd),
+                in_specs=[
+                    pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, Qp, C), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, g_l, f2flat)
+
+            df2p = pl.pallas_call(
+                functools.partial(_bwd_df2_kernel, **common),
+                grid=(B, Qp // qt_bwd),
+                in_specs=[
+                    pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, Hl * Wp, C), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, g_l, f1)
+            df2_full = df2p.reshape(B, Hl, Wp, C)
+        else:
+            f2flat = _flatten_f2(f2, Wp, Hpad=nH * CH)
+            common = dict(radius=radius, scale=0.5**lvl, CH=CH, Wp=Wp,
+                          precision=precision)
+            df1_parts = pl.pallas_call(
+                functools.partial(_bwd_df1_stream_kernel, **common),
+                grid=(B, nH, Qp // qt_bwd),
+                in_specs=[
+                    pl.BlockSpec((1, qt_bwd, 2), lambda b, h, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, h, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, CH * Wp, C), lambda b, h, q: (b, h, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, qt_bwd, C), lambda b, h, q: (b, h, q, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, nH, Qp, C), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, g_l, f2flat)
+            df1_l = jnp.sum(df1_parts, axis=1)
+
+            df2p = pl.pallas_call(
+                functools.partial(_bwd_df2_stream_kernel, **common),
+                grid=(B, nH, Qp // qt_bwd),
+                in_specs=[
+                    pl.BlockSpec((1, qt_bwd, 2), lambda b, h, q: (b, q, 0)),
+                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, h, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, C), lambda b, h, q: (b, q, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CH * Wp, C), lambda b, h, q: (b, h, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, nH * CH * Wp, C), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32)],
+                interpret=interpret,
+            )(cf, g_l, f1)
+            df2_full = df2p.reshape(B, nH * CH, Wp, C)[:, :Hl]
+
         df1 = df1 + df1_l
-
-        df2p = pl.pallas_call(
-            functools.partial(_bwd_df2_kernel, **common),
-            grid=(B, Qp // qt_bwd),
-            in_specs=[
-                pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
-                pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
-                pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, Hl * Wp, C), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
-            interpret=interpret,
-        )(cf, g_l, f1)
-        df2s.append(
-            df2p.reshape(B, Hl, Wp, C)[:, :, :Wl].astype(f2.dtype)
-        )
+        df2s.append(df2_full[:, :, :Wl].astype(f2.dtype))
 
     df1 = df1[:, :Q].reshape(B, h, w, C).astype(fmap1.dtype)
     return df1, tuple(df2s), jnp.zeros_like(coords)

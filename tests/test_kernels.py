@@ -127,6 +127,38 @@ def test_full_model_trains_through_ondemand_path():
     assert any(float(jnp.abs(g).max()) > 0 for g in fnet_grads)
 
 
+def test_ondemand_streaming_path_matches_oracle(monkeypatch):
+    """h-chunk streaming kernels (big-frame path) == resident path == oracle.
+
+    Tiny VMEM budgets force every level onto the streaming kernels (CH=1, one
+    fmap2 row per grid step, partial-sum outputs)."""
+    from raft_optical_flow_tpu.kernels import corr_ondemand_pallas as kp
+
+    monkeypatch.setattr(kp, "_RESIDENT_BUDGET", 1024)
+    monkeypatch.setattr(kp, "_CHUNK_BUDGET", 1024)
+    fmap1, fmap2, coords = _make_inputs(seed=7, B=1, H=10, W=12, C=16)
+    pyr = _f2_pyramid(fmap2, 3)
+    assert kp._level_geometry(pyr[0])[4] > 1  # actually streaming
+
+    ref = np.asarray(_ondemand_xla(fmap1, pyr, coords, 3))
+    ours = np.asarray(
+        kp.ondemand_corr_pyramid_pallas(fmap1, pyr, coords, 3, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def loss_pallas(f1, f2s):
+        out = kp.ondemand_corr_pyramid_pallas(f1, f2s, coords, 3, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(f1, f2s):
+        return jnp.sum(jnp.sin(_ondemand_xla(f1, f2s, coords, 3)))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(fmap1, pyr)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(fmap1, pyr)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
 def test_ondemand_custom_vjp_matches_xla_grads():
     fmap1, fmap2, coords = _make_inputs(seed=5, B=1, H=8, W=10, C=16)
     pyr = _f2_pyramid(fmap2, 2)
