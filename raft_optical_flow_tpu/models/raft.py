@@ -49,6 +49,13 @@ class RAFTConfig:
     corr_levels: int = 4
     corr_impl: str = "pallas"  # 'pallas' (TPU kernel; XLA fallback on CPU) | 'xla'
     compute_dtype: Any = jnp.float32  # bf16 for mixed precision; corr stays fp32
+    # Rematerialize each GRU iteration in the backward pass: per-iteration
+    # activations are recomputed instead of stored, cutting training HBM by
+    # ~the iteration count at ~1 extra forward of FLOPs — the standard TPU
+    # memory/compute trade (the reference has no equivalent; GradScaler+autocast
+    # only shrinks dtype). Composes with alternate_corr for the minimum-memory
+    # training configuration.
+    remat: bool = False
 
     @property
     def corr_radius(self) -> int:
@@ -251,8 +258,9 @@ class RAFT(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
+        iteration_cls = nn.remat(RAFTIteration) if cfg.remat else RAFTIteration
         ScanIter = nn.scan(
-            RAFTIteration,
+            iteration_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=nn.broadcast,

@@ -102,3 +102,32 @@ def test_data_parallel_train_step_matches_single_device():
     assert abs(loss_dp - loss_sd) < 1e-4
     err = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p_dp, p_sd)))
     assert err < 1e-4, f"DP and single-device params diverged: {err}"
+
+
+def test_remat_iteration_matches_baseline_grads():
+    """cfg.remat recomputes the GRU iterations in backward; loss is bit-identical
+    and gradients match up to fusion-order float noise."""
+    from raft_optical_flow_tpu.models.raft import RAFT
+
+    rng = np.random.RandomState(5)
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 32, 48, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-2, 2, (1, 32, 48, 2)), jnp.float32)
+
+    def grads_for(remat):
+        model = RAFT(RAFTConfig(small=True, remat=remat))
+        variables = model.init(jax.random.PRNGKey(0), img1, img2, iters=1,
+                               test_mode=True)
+
+        def loss_fn(p):
+            preds = model.apply({"params": p}, img1, img2, iters=3, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean(jnp.abs(preds - gt[None]))
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    (l0, g0), (l1, g1) = grads_for(False), grads_for(True)
+    assert float(l0) == float(l1)
+    scale = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g0))))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
