@@ -53,14 +53,34 @@ def _tri_selector(centers, dim: int, radius: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+def _placement(a: int, K: int, dtype):
+    """One-hot placement matrix P_a[b, m] = 1 iff m == a*K + b, shape [K, K*K].
+
+    Right-multiplying a [QT, K] window slice by P_a scatters it into lanes
+    a*K..a*K+K-1 of the flattened output — the lane-merge flatten expressed as
+    MXU work, which Mosaic supports where reshapes/offset-concats are rejected.
+    """
+    b = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 1)
+    return (m == a * K + b).astype(dtype)
+
+
 def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
     """One grid step: QT queries of one batch element at one pyramid level.
 
     coords_ref: VMEM [1, QT, 2] level-scaled (x, y) centers.
     corr_ref:   VMEM [1, QT, Hl, Wl] correlation rows for these queries.
-    out_ref:    VMEM [1, QT, (2r+1), (2r+1)] window, [dx, dy] order.
+    out_ref:    VMEM [1, QT, (2r+1)^2] flattened window, k = a*(2r+1)+b order.
+
+    The output keeps the window FLAT on the lane dimension: a [QT, K, K] output
+    block would be tiled T(8,128) per trailing [K, K] slab — 14x write padding at
+    K=9 — and force a real (measured ~1 ms/level) XLA reshape downstream. Mosaic
+    forbids lane-merging reshapes (and rejects lane-concat of offset slices), so
+    the flatten is K placement matmuls: win_flat = sum_a win[:, a, :] @ P_a with
+    P_a[b, a*K+b] = 1 — tiny MXU work that also normalizes the slice layouts.
     """
     Hl, Wl = corr_ref.shape[2], corr_ref.shape[3]
+    K = 2 * radius + 1
     corr = corr_ref[0]
     cx = coords_ref[0, :, 0]
     cy = coords_ref[0, :, 1]
@@ -82,17 +102,27 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = win
+    flat = None
+    for a in range(K):
+        part = jax.lax.dot_general(
+            win[:, a, :], _placement(a, K, win.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        flat = part if flat is None else flat + part
+    out_ref[0] = flat.astype(out_ref.dtype)
 
 
 def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, *, radius: int):
     """Backward: d_corr[q, h, w] = sum_{a,b} Y[q,h,b] g[q,a,b] X[q,w,a].
 
-    coords_ref: VMEM [1, QT, 2]; g_ref: VMEM [1, QT, K, K] ([dx, dy] order);
+    coords_ref: VMEM [1, QT, 2]; g_ref: VMEM [1, QT, K, K] ([dx, dy] order —
+    the flat cotangent is unflattened in XLA before the kernel; the padded
+    [K, K] tile layout only costs the training path, the fwd output stays flat);
     dcorr_ref: VMEM [1, QT, Hl, Wl].
     """
     Hl, Wl = dcorr_ref.shape[2], dcorr_ref.shape[3]
-    g = g_ref[0]
+    g = g_ref[0].astype(jnp.float32)  # [QT, K, K]
     cx = coords_ref[0, :, 0]
     cy = coords_ref[0, :, 1]
     X = _tri_selector(cx, Wl, radius)  # [QT, Wl, K]
@@ -112,13 +142,16 @@ def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, *, radius: int):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
-    return _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype):
+    return _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret, out_dtype)
 
 
-def _lookup_level_fwd_impl(corr_l, coords_l, radius: int, qt: int, interpret: bool):
-    """corr_l: [B, Q, Hl, Wl] fp32/bf16; coords_l: [B, Q, 2] level-scaled. -> [B, Q, K^2] fp32."""
+def _lookup_level_fwd_impl(
+    corr_l, coords_l, radius: int, qt: int, interpret: bool, out_dtype=jnp.float32
+):
+    """corr_l: [B, Q, Hl, Wl] fp32/bf16; coords_l: [B, Q, 2] level-scaled.
+    -> [B, Q, K^2] out_dtype (fp32 accumulation inside, one rounding at the end)."""
     B, Q, Hl, Wl = corr_l.shape
     K = 2 * radius + 1
 
@@ -135,20 +168,20 @@ def _lookup_level_fwd_impl(corr_l, coords_l, radius: int, qt: int, interpret: bo
             pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
             pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
+        out_specs=pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, K * K), out_dtype),
         interpret=interpret,
     )(coords_l, corr_l)
-    return out[:, :Q].reshape(B, Q, K * K)
+    return out[:, :Q]
 
 
-def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl):
-    out = _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret)
+def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype):
+    out = _lookup_level_fwd_impl(corr_l, coords_l, radius, qt, interpret, out_dtype)
     # the empty array carries the primal volume dtype for the cotangent
     return out, (coords_l, jnp.zeros((0,), corr_l.dtype))
 
 
-def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, residuals, g):
+def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     """Gradient wrt the correlation volume, as a Pallas kernel with the same
     separable-selector structure. The coords gradient is zero: RAFT stop-gradients
     coords1 before every lookup (`core/raft.py:216`), so no gradient would flow
@@ -157,8 +190,11 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, residuals, g):
     coords_l, dtype_token = residuals
     B, Q = coords_l.shape[:2]
     K = 2 * radius + 1
-    g = g.reshape(B, Q, K, K)
 
+    # halve the query tile: the bwd stack (X + Y + t + g + dcorr block) is ~2x
+    # the fwd's and hits the 16 MB scoped-vmem limit at qt=128/1024-wide
+    qt = max(qt // 2, 32)
+    g = g.reshape(B, Q, K, K)
     pad_q = (-Q) % qt
     if pad_q:
         g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
@@ -274,11 +310,14 @@ def corr_pyramid_lookup_pallas(
     radius: int,
     qt: int = 128,
     interpret: bool | None = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Drop-in Pallas replacement for `ops.corr.corr_pyramid_lookup`.
 
     pyramid: tuple of [B, Q, Hl, Wl] fp32 volumes (level 0 first).
     coords: [B, h, w, 2] level-0 pixel coords (x, y), Q = h*w row-major.
+    out_dtype: window feature dtype (fp32 accumulation either way; pass bf16
+      under the mixed-precision policy to skip a separate convert pass).
     Returns [B, h, w, L*(2r+1)^2], levels concatenated coarse-last.
     """
     if interpret is None:
@@ -288,7 +327,7 @@ def corr_pyramid_lookup_pallas(
             # kernel (tests/test_kernels.py), so delegate instead of interpreting.
             from raft_optical_flow_tpu.ops.corr import corr_pyramid_lookup
 
-            return corr_pyramid_lookup(pyramid, coords, radius)
+            return corr_pyramid_lookup(pyramid, coords, radius).astype(out_dtype)
         interpret = False
     B, h, w, _ = coords.shape
     coords_flat = coords.reshape(B, h * w, 2).astype(jnp.float32)
@@ -298,7 +337,11 @@ def corr_pyramid_lookup_pallas(
         coords_l = coords_flat / jnp.float32(2.0**lvl)
         Hl, Wl = corr_l.shape[2], corr_l.shape[3]
         outs.append(
-            _lookup_level(corr_l, coords_l, radius, qt, interpret, Hl, Wl)
+            _lookup_level(
+                corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype
+            )
         )
     out = jnp.concatenate(outs, axis=-1)
+    # [B, Q, L*K^2] -> [B, h, w, L*K^2]: splits the sublane dim only (layout-
+    # preserving bitcast), unlike the former per-level [B, Q, K, K] windows
     return out.reshape(B, h, w, -1)

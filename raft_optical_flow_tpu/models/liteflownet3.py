@@ -215,8 +215,13 @@ class Regularization(nn.Module):
         mult = self.cfg.mult(self.level)
 
         img2_warped = warp_lfn3(img2, flow, 1.0 / mult)
+        # The 1e-12 keeps d(sqrt)/dx finite where the warped diff is exactly 0
+        # (the reference, `liteflownet3_simple.py:531`, only ever runs inference
+        # through this norm; training through sqrt(0) produces NaN gradients —
+        # observed as lfn3_unsup divergence). Forward delta is < 1e-6 px,
+        # far inside the golden-parity budget.
         img_diff_norm = jnp.sqrt(
-            jnp.sum((img1 - img2_warped) ** 2, axis=-1, keepdims=True) + 0.0
+            jnp.sum((img1 - img2_warped) ** 2, axis=-1, keepdims=True) + 1e-12
         )
 
         flow_mean = flow.mean(axis=(1, 2), keepdims=True)

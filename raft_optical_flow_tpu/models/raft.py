@@ -126,7 +126,11 @@ class RAFTIteration(nn.Module):
                 corr_pyramid_lookup_pallas,
             )
 
-            corr = corr_pyramid_lookup_pallas(corr_state, coords1, cfg.corr_radius)
+            # windows come out of the kernel already in the compute dtype
+            # (fp32-accumulated, single rounding) — no separate convert pass
+            corr = corr_pyramid_lookup_pallas(
+                corr_state, coords1, cfg.corr_radius, out_dtype=cfg.compute_dtype
+            )
         else:
             corr = corr_pyramid_lookup(corr_state, coords1, cfg.corr_radius)
 
