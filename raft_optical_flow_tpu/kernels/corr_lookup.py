@@ -332,10 +332,18 @@ def corr_pyramid_lookup_pallas(
     B, h, w, _ = coords.shape
     coords_flat = coords.reshape(B, h * w, 2).astype(jnp.float32)
 
+    K = 2 * radius + 1
     outs = []
     for lvl, corr_l in enumerate(pyramid):
         coords_l = coords_flat / jnp.float32(2.0**lvl)
         Hl, Wl = corr_l.shape[2], corr_l.shape[3]
+        if Hl == 0 or Wl == 0:
+            # floor-mode pooling empties a level once h or w reaches 1 (e.g.
+            # 48-pixel-high selfsup student crops: 6 -> 3 -> 1 -> 0). Every tap
+            # is out of bounds, so the XLA path yields zeros; match it without
+            # asking Mosaic for a zero-sized block.
+            outs.append(jnp.zeros((B, h * w, K * K), out_dtype))
+            continue
         outs.append(
             _lookup_level(
                 corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype

@@ -18,9 +18,16 @@ checkpoint converter is a mechanical rename.
 
 from __future__ import annotations
 
+import functools
+
 from flax import linen as nn
 
-from raft_optical_flow_tpu.models.layers import apply_norm, conv
+from raft_optical_flow_tpu.models.layers import KAIMING_OUT_INIT, apply_norm
+from raft_optical_flow_tpu.models.layers import conv as _conv
+
+# the reference re-initializes every encoder conv with kaiming(fan_out)
+# (`core/extractor.py:149-156`); the rest of the model keeps torch defaults
+conv = functools.partial(_conv, kernel_init=KAIMING_OUT_INIT)
 
 
 class ResidualBlock(nn.Module):

@@ -56,6 +56,13 @@ def _as_pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+# torch Conv2d's default kernel init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+# variance_scaling uniform draws U(+-sqrt(3*scale/fan)), so scale=1/3 reproduces it.
+TORCH_DEFAULT_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# the reference RAFT encoders' explicit init (core/extractor.py:149-156)
+KAIMING_OUT_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
 def conv(
     features: int,
     kernel_size: Union[int, Sequence[int]] = 3,
@@ -67,8 +74,13 @@ def conv(
     groups: int = 1,
     dilation: Union[int, Sequence[int]] = 1,
     dtype=None,
+    kernel_init=TORCH_DEFAULT_INIT,
 ) -> nn.Conv:
-    """torch-geometry nn.Conv with kaiming(fan_out) init (core/extractor.py:150-157)."""
+    """torch-geometry nn.Conv. Default init matches torch Conv2d's default —
+    every reference model family relies on it outside the RAFT encoders (which
+    pass KAIMING_OUT_INIT, `core/extractor.py:149-156`). The ~10x-larger
+    kaiming(fan_out) gain previously used everywhere gave random-init RAFT
+    ~300 px initial flows, which stalls unsupervised (census) bootstrapping."""
     return nn.Conv(
         features=features,
         kernel_size=_as_pair(kernel_size),
@@ -77,7 +89,7 @@ def conv(
         use_bias=use_bias,
         feature_group_count=groups,
         kernel_dilation=_as_pair(dilation),
-        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        kernel_init=kernel_init,
         dtype=scoped_dtype(dtype),
         name=name,
     )

@@ -186,6 +186,7 @@ def uflow_unsup_train_step(
     selfsup_crop: int = 8,
     iters: int = 4,
     occlusion_estimation: str = "wang",
+    occlusion_warmup_steps: int = 100,
 ):
     """UFlow-style unsupervised step on RAFT-small: census + edge-aware smooth2 +
     self-supervision (`uflow_loss_pytorch.py:643-795`, the loss library the
@@ -229,7 +230,9 @@ def uflow_unsup_train_step(
 
         def run(a, b):
             preds = model.apply(variables, a, b, iters=iters, train=True)
-            return preds[-1]
+            # RAFT emits (dx, dy); losses/uflow.py follows UFlow's (dy, dx)
+            # convention throughout (see its module docstring) — flip here.
+            return preds[-1][..., ::-1]
 
         flows = {}
         # main passes; photometric terms use these ("augmented-student")
@@ -246,6 +249,14 @@ def uflow_unsup_train_step(
         warps, valid_masks, _, occ_masks, fb_sq_diff, fb_sum_sq = (
             uflow.compute_warps_and_occlusion(flows, occlusion_estimation)
         )
+        # Occlusion warm-up (UFlow's occlusion_active schedule): with random
+        # early flows the range-map/fb estimators mark ~everything occluded,
+        # which zeroes the photometric term and lets smoothness collapse the
+        # model. Treat all pixels as visible until the flows bootstrap.
+        occ_on = (state.step >= occlusion_warmup_steps).astype(jnp.float32)
+        occ_masks = jax.tree.map(
+            lambda m: occ_on * m + (1.0 - occ_on) * jnp.ones_like(m), occ_masks
+        )
         images = {0: img1 / 255.0, 1: img2 / 255.0}
         aug_warps = {k: v for k, v in warps.items() if k[2] == "augmented-student"}
         warped_images = uflow.apply_warps_stop_grad(images, aug_warps, level=0)
@@ -257,7 +268,7 @@ def uflow_unsup_train_step(
         )
         metrics = {k: v for k, v in losses.items() if k != "total"}
         if "flow" in batch:  # EPE vs ground truth, monitoring only
-            epe = jnp.sqrt(jnp.sum((fw - batch["flow"]) ** 2, -1))
+            epe = jnp.sqrt(jnp.sum((fw[..., ::-1] - batch["flow"]) ** 2, -1))
             vmask = batch.get("valid", jnp.ones_like(epe))
             metrics["epe"] = jnp.sum(epe * vmask) / jnp.maximum(jnp.sum(vmask), 1.0)
         return losses["total"], metrics
