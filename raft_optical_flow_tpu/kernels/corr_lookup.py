@@ -40,15 +40,18 @@ def _interpret_default() -> bool:
 
 
 def _tri_selector(centers, dim: int, radius: int):
-    """Selector stack S[q, d, a] = tri(d - (centers[q] - r + a)).
+    """Selector stack S[q, a, d] = tri(d - (centers[q] - r + a)).
 
     centers: [QT] fractional window centers along one axis, level units.
-    Returns [QT, dim, 2r+1] fp32.
+    Returns [QT, 2r+1, dim] fp32 — the window axis on the SUBLANE dim and the
+    spatial axis on the lane dim. The untransposed [QT, dim, 2r+1] form pads
+    2r+1 -> 128 lanes (8-14x VMEM and relayout waste); this way only the
+    spatial dim (usually >= 64) occupies lanes.
     """
     qt = centers.shape[0]
     K = 2 * radius + 1
-    d = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 1).astype(jnp.float32)
-    a = jax.lax.broadcasted_iota(jnp.int32, (qt, dim, K), 2).astype(jnp.float32)
+    d = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 2).astype(jnp.float32)
+    a = jax.lax.broadcasted_iota(jnp.int32, (qt, K, dim), 1).astype(jnp.float32)
     t = d - (centers[:, None, None] - float(radius) + a)
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
@@ -87,19 +90,20 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
 
     # selectors in the volume's dtype (bf16 volumes halve the per-iteration HBM
     # traffic under the mixed-precision policy); accumulation stays fp32
-    X = _tri_selector(cx, Wl, radius).astype(corr.dtype)  # [QT, Wl, K]
-    Y = _tri_selector(cy, Hl, radius).astype(corr.dtype)  # [QT, Hl, K]
+    X = _tri_selector(cx, Wl, radius).astype(corr.dtype)  # [QT, K, Wl]
+    Y = _tri_selector(cy, Hl, radius).astype(corr.dtype)  # [QT, K, Hl]
 
-    # u[q, a, h] = sum_w X[q, w, a] * corr[q, h, w]
+    # u[q, a, h] = sum_w X[q, a, w] * corr[q, h, w]
+    # (intermediates are fp32: Mosaic requires 32-bit matmul accumulators)
     u = jax.lax.dot_general(
         X, corr,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    # win[q, a, b] = sum_h u[q, a, h] * Y[q, h, b]  -> dx-major, reference order
+    # win[q, a, b] = sum_h u[q, a, h] * Y[q, b, h]  -> dx-major, reference order
     win = jax.lax.dot_general(
-        u, Y,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        u, Y.astype(u.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     flat = None
@@ -125,19 +129,19 @@ def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, *, radius: int):
     g = g_ref[0].astype(jnp.float32)  # [QT, K, K]
     cx = coords_ref[0, :, 0]
     cy = coords_ref[0, :, 1]
-    X = _tri_selector(cx, Wl, radius)  # [QT, Wl, K]
-    Y = _tri_selector(cy, Hl, radius)  # [QT, Hl, K]
+    X = _tri_selector(cx, Wl, radius)  # [QT, K, Wl]
+    Y = _tri_selector(cy, Hl, radius)  # [QT, K, Hl]
 
-    # t[q, h, a] = sum_b Y[q, h, b] * g[q, a, b]
+    # t[q, a, h] = sum_b g[q, a, b] * Y[q, b, h]
     t = jax.lax.dot_general(
-        Y, g,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        g, Y,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    # d[q, h, w] = sum_a t[q, h, a] * X[q, w, a]
+    # d[q, h, w] = sum_a t[q, a, h] * X[q, a, w]
     dcorr_ref[0] = jax.lax.dot_general(
         t, X,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
 
@@ -155,24 +159,21 @@ def _lookup_level_fwd_impl(
     B, Q, Hl, Wl = corr_l.shape
     K = 2 * radius + 1
 
-    pad_q = (-Q) % qt
-    if pad_q:
-        corr_l = jnp.pad(corr_l, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
-        coords_l = jnp.pad(coords_l, ((0, 0), (0, pad_q), (0, 0)))
-    Qp = Q + pad_q
-
+    # ceil-div grid: Pallas masks the partial final block (padding the arrays
+    # to a qt multiple instead would re-copy the whole pyramid every scan
+    # iteration — measured 7 ms/call at Sintel size)
     out = pl.pallas_call(
         functools.partial(_lookup_level_kernel, radius=radius),
-        grid=(B, Qp // qt),
+        grid=(B, -(-Q // qt)),
         in_specs=[
             pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
             pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, K * K), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Q, K * K), out_dtype),
         interpret=interpret,
     )(coords_l, corr_l)
-    return out[:, :Q]
+    return out
 
 
 def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype):
@@ -195,26 +196,21 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     # the fwd's and hits the 16 MB scoped-vmem limit at qt=128/1024-wide
     qt = max(qt // 2, 32)
     g = g.reshape(B, Q, K, K)
-    pad_q = (-Q) % qt
-    if pad_q:
-        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
-        coords_l = jnp.pad(coords_l, ((0, 0), (0, pad_q), (0, 0)))
-    Qp = Q + pad_q
 
     dcorr = pl.pallas_call(
         functools.partial(_lookup_level_bwd_kernel, radius=radius),
-        grid=(B, Qp // qt),
+        grid=(B, -(-Q // qt)),
         in_specs=[
             pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
             pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, Hl, Wl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Q, Hl, Wl), jnp.float32),
         interpret=interpret,
     )(coords_l, g)
     return (
-        dcorr[:, :Q].astype(dtype_token.dtype),
-        jnp.zeros_like(coords_l[:, :Q]),
+        dcorr.astype(dtype_token.dtype),
+        jnp.zeros_like(coords_l),
     )
 
 
@@ -333,9 +329,16 @@ def corr_pyramid_lookup_pallas(
     coords_flat = coords.reshape(B, h * w, 2).astype(jnp.float32)
 
     K = 2 * radius + 1
+    # Coarser levels carry 4x less data per query, so their per-grid-step DMA
+    # and launch overhead dominates at a fixed tile; scale the query tile up
+    # with the level (VMEM stays ~flat: block bytes are qt/4^lvl-invariant).
+    # The cap keeps the lane-padded selector/intermediate stacks inside the
+    # 16 MB scoped-vmem budget (bf16 intermediates allow the larger cap).
+    cap = 512 if pyramid[0].dtype == jnp.bfloat16 else 256
     outs = []
     for lvl, corr_l in enumerate(pyramid):
         coords_l = coords_flat / jnp.float32(2.0**lvl)
+        qt_l = min(qt * 4**lvl, cap)
         Hl, Wl = corr_l.shape[2], corr_l.shape[3]
         if Hl == 0 or Wl == 0:
             # floor-mode pooling empties a level once h or w reaches 1 (e.g.
@@ -346,7 +349,7 @@ def corr_pyramid_lookup_pallas(
             continue
         outs.append(
             _lookup_level(
-                corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype
+                corr_l, coords_l, radius, qt_l, interpret, Hl, Wl, out_dtype
             )
         )
     out = jnp.concatenate(outs, axis=-1)
