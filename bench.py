@@ -78,7 +78,7 @@ def main():
     # sequentially on-device per dispatch (lax.map), which amortizes this
     # environment's ~30 ms tunnel round-trip per dispatch. Each pair still runs
     # the full single-pair program (batch=1, 32 iterations).
-    PAIRS_PER_DISPATCH = 4
+    PAIRS_PER_DISPATCH = 16
     a = jax.random.uniform(k1, (PAIRS_PER_DISPATCH, 1, Hp, Wp, 3), jnp.float32, 0, 255)
     b = jax.random.uniform(k2, (PAIRS_PER_DISPATCH, 1, Hp, Wp, 3), jnp.float32, 0, 255)
 
