@@ -56,6 +56,9 @@ class RAFTConfig:
     # only shrinks dtype). Composes with alternate_corr for the minimum-memory
     # training configuration.
     remat: bool = False
+    # Fused Pallas SepConvGRU (kernels/gru_fused.py) — opt-in, standard model
+    # only; see models/update.py:SepConvGRU.fused for the parity trade.
+    fused_gru: bool = False
 
     @property
     def corr_radius(self) -> int:
@@ -139,7 +142,7 @@ class RAFTIteration(nn.Module):
         if cfg.small:
             block = SmallUpdateBlock(cfg.hidden_dim, name="block")
         else:
-            block = BasicUpdateBlock(cfg.hidden_dim, name="block")
+            block = BasicUpdateBlock(cfg.hidden_dim, cfg.fused_gru, name="block")
         # the GRU hidden state is carried in the compute dtype (the reference's
         # autocast keeps it half precision too); delta joins fp32 coords
         net, up_mask, delta = block(

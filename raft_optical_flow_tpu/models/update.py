@@ -12,10 +12,31 @@ Submodule names mirror the torch attribute paths (mask.0 -> mask_0).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from raft_optical_flow_tpu.models.layers import conv
+from raft_optical_flow_tpu.models.layers import TORCH_DEFAULT_INIT, conv
+
+
+class _ConvParams(nn.Module):
+    """Declares a conv's kernel/bias params (same paths, shapes, and init as
+    nn.Conv) without running the conv — the fused GRU kernel consumes the raw
+    arrays instead."""
+
+    features: int
+    kernel_size: tuple
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            TORCH_DEFAULT_INIT,
+            (*self.kernel_size, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class FlowHead(nn.Module):
@@ -43,10 +64,32 @@ class ConvGRU(nn.Module):
 
 class SepConvGRU(nn.Module):
     hidden_dim: int = 128
+    # opt-in fused Pallas step (kernels/gru_fused.py): both directional passes
+    # run as single VMEM-resident kernels — measured ~10% faster than the six
+    # XLA convs at Sintel size. Default off: the fused path reorders bf16
+    # roundings (conv(cat(h,x)) becomes conv(h)+conv(x)), so exact golden
+    # parity is only guaranteed on the default path. Same param tree either way.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h, x):
         d = self.hidden_dim
+        if self.fused:
+            from raft_optical_flow_tpu.kernels.gru_fused import (
+                sepconv_gru_pallas,
+                sepconv_gru_reference,
+            )
+
+            cin = h.shape[-1] + x.shape[-1]
+            params = {}
+            for suffix, ks in (("1", (1, 5)), ("2", (5, 1))):
+                for gate in "zrq":
+                    params[f"conv{gate}{suffix}"] = _ConvParams(
+                        d, ks, cin, name=f"conv{gate}{suffix}"
+                    )()
+            if jax.default_backend() == "cpu":
+                return sepconv_gru_reference(h, x, params)
+            return sepconv_gru_pallas(h, x, params)
         # horizontal pass (1x5 kernels)
         hx = jnp.concatenate([h, x], axis=-1)
         z = nn.sigmoid(conv(d, (1, 5), 1, (0, 2), name="convz1")(hx))
@@ -101,12 +144,13 @@ class SmallUpdateBlock(nn.Module):
 
 class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
+    fused_gru: bool = False
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
         motion = BasicMotionEncoder(name="encoder")(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        net = SepConvGRU(self.hidden_dim, self.fused_gru, name="gru")(net, x)
         delta = FlowHead(256, name="flow_head")(net)
         mask = nn.relu(conv(256, 3, 1, 1, name="mask_0")(net))
         mask = 0.25 * conv(64 * 9, 1, 1, 0, name="mask_2")(mask)

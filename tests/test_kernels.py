@@ -175,3 +175,39 @@ def test_ondemand_custom_vjp_matches_xla_grads():
     g2 = jax.grad(loss_xla, argnums=(0, 1))(fmap1, pyr)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_sepconv_gru_matches_reference():
+    """kernels/gru_fused.py: fused Pallas SepConvGRU (interpret) == XLA reference
+    (`core/update.py:74-121` semantics), forward and custom-VJP gradients."""
+    from raft_optical_flow_tpu.kernels.gru_fused import (
+        sepconv_gru_pallas,
+        sepconv_gru_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, W, D, X = 1, 8, 16, 16, 24
+    h = jnp.asarray(rng.randn(B, H, W, D), jnp.float32)
+    x = jnp.asarray(rng.randn(B, H, W, X), jnp.float32)
+    params = {}
+    for s, ks in (("1", (1, 5)), ("2", (5, 1))):
+        for g in "zrq":
+            params[f"conv{g}{s}"] = (
+                jnp.asarray(rng.randn(*ks, D + X, D) * 0.05, jnp.float32),
+                jnp.asarray(rng.randn(D) * 0.05, jnp.float32),
+            )
+
+    ref = sepconv_gru_reference(h, x, params)
+    out = sepconv_gru_pallas(h, x, params, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def loss_p(h, x, p):
+        return jnp.sum(jnp.sin(sepconv_gru_pallas(h, x, p, True)))
+
+    def loss_r(h, x, p):
+        return jnp.sum(jnp.sin(sepconv_gru_reference(h, x, p)))
+
+    g1 = jax.grad(loss_p, argnums=(0, 1, 2))(h, x, params)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(h, x, params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

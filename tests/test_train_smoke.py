@@ -105,8 +105,9 @@ def test_data_parallel_train_step_matches_single_device():
 
 
 def test_remat_iteration_matches_baseline_grads():
-    """cfg.remat recomputes the GRU iterations in backward; loss is bit-identical
-    and gradients match up to fusion-order float noise."""
+    """cfg.remat recomputes the GRU iterations in backward; loss and gradients
+    match up to fusion-order float noise (remat moves fusion boundaries, so
+    even the forward can differ in the last ulp)."""
     from raft_optical_flow_tpu.models.raft import RAFT
 
     rng = np.random.RandomState(5)
@@ -127,7 +128,7 @@ def test_remat_iteration_matches_baseline_grads():
         return jax.value_and_grad(loss_fn)(variables["params"])
 
     (l0, g0), (l1, g1) = grads_for(False), grads_for(True)
-    assert float(l0) == float(l1)
+    assert abs(float(l0) - float(l1)) < 1e-6 * max(abs(float(l0)), 1.0)
     scale = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g0))))
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
