@@ -22,11 +22,11 @@ import jax
 import jax.numpy as jnp
 
 
-def analyze(H: int, W: int, alternate_corr: bool):
+def analyze(H: int, W: int, alternate_corr: bool, remat: bool = False):
     from raft_optical_flow_tpu.models import RAFT, RAFTConfig
     from raft_optical_flow_tpu.losses.sequence import sequence_loss
 
-    config = RAFTConfig(small=False, alternate_corr=alternate_corr)
+    config = RAFTConfig(small=False, alternate_corr=alternate_corr, remat=remat)
     model = RAFT(config)
 
     img = jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32)
@@ -71,10 +71,12 @@ def main():
     print("|---|---|---|---|---|")
     for s in shapes:
         H, W = (int(x) for x in s.split("x"))
-        for alt in (False, True):
+        for alt, remat in ((False, False), (True, False), (True, True)):
             name = "on-demand Pallas" if alt else "materialized volume"
+            if remat:
+                name += " + remat"
             try:
-                r = analyze(H, W, alt)
+                r = analyze(H, W, alt, remat)
                 total = r["temp_gb"] + r["arg_gb"] + r["out_gb"]
                 fits = "yes" if total < 16.0 else f"NO ({total:.1f} GB)"
                 print(
