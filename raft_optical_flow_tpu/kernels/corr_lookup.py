@@ -304,7 +304,7 @@ def corr_pyramid_lookup_pallas(
     pyramid: Sequence[jax.Array],
     coords: jax.Array,
     radius: int,
-    qt: int = 128,
+    qt: int | None = None,
     interpret: bool | None = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
@@ -335,6 +335,11 @@ def corr_pyramid_lookup_pallas(
     # The cap keeps the lane-padded selector/intermediate stacks inside the
     # 16 MB scoped-vmem budget (bf16 intermediates allow the larger cap).
     cap = 512 if pyramid[0].dtype == jnp.bfloat16 else 256
+    if qt is None:
+        # bf16 level-0 blocks are half the bytes, so the tile can double
+        # (measured ~3 ms/call in-model at Sintel size); fp32 at 256 overflows
+        # the scoped-vmem budget with double-buffered [qt, H/8, W/8] blocks.
+        qt = 256 if pyramid[0].dtype == jnp.bfloat16 else 128
     outs = []
     for lvl, corr_l in enumerate(pyramid):
         coords_l = coords_flat / jnp.float32(2.0**lvl)
