@@ -106,12 +106,22 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    # One-hot placement must not round the fp32 window values when the output
+    # is fp32 (fidelity/test mode) -> HIGHEST. With a bf16 output the default
+    # pass's bf16 truncation is exactly the rounding the output applies anyway,
+    # and HIGHEST's 6-pass tiny dots measurably slow the serving path (~7 ms).
+    pp = (
+        jax.lax.Precision.DEFAULT
+        if out_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     flat = None
     for a in range(K):
         part = jax.lax.dot_general(
             win[:, a, :], _placement(a, K, win.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=pp,
         )
         flat = part if flat is None else flat + part
     out_ref[0] = flat.astype(out_ref.dtype)

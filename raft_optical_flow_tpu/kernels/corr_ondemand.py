@@ -203,6 +203,7 @@ def ondemand_corr_pyramid(
     interpret: bool | None = None,
     impl: str | None = None,
     precision=None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """On-demand multi-level windowed correlation (dispatcher).
 
@@ -228,6 +229,8 @@ def ondemand_corr_pyramid(
         kwargs = {} if precision is None else {"precision": precision}
         return ondemand_corr_pyramid_pallas(
             fmap1, tuple(fmap2_pyramid), coords, radius,
-            interpret=bool(interpret), **kwargs,
+            interpret=bool(interpret), out_dtype=out_dtype, **kwargs,
         )
-    return _ondemand(fmap1, tuple(fmap2_pyramid), coords, radius, qt)
+    return _ondemand(fmap1, tuple(fmap2_pyramid), coords, radius, qt).astype(
+        out_dtype
+    )

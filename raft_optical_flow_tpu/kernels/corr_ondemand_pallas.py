@@ -96,14 +96,44 @@ def _rows_into_scratch(f1, f2_ref, rows_ref, Hl, Wp, precision):
             rows_ref[:, h0 + i, :] = seg[:, i * Wp : (i + 1) * Wp]
 
 
+def _flatten_win(win, radius: int, out_dtype):
+    """[QT, K, K] -> [QT, K*K] (k = a*K + b) via one-hot placement matmuls —
+    the lane-merge flatten Mosaic's reshape/concat can't do (see
+    corr_lookup.py). Keeping the window flat on the lane dim avoids the 14x
+    tile-padded [*, K, K] output writes and the XLA reshape downstream.
+
+    Placement precision: HIGHEST when the output is fp32 (fp32-faithful mode —
+    a one-hot selection must not round the window values); DEFAULT when the
+    output is bf16, where the pass's truncation is the rounding the output
+    applies anyway and HIGHEST's 6-pass tiny dots cost ~7 ms/call in-model."""
+    K = 2 * radius + 1
+    b_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 0)
+    m_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 1)
+    pp = (
+        jax.lax.Precision.DEFAULT
+        if out_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    flat = None
+    for a in range(K):
+        p = (m_i == a * K + b_i).astype(win.dtype)
+        part = jax.lax.dot_general(
+            win[:, a, :], p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=pp,
+        )
+        flat = part if flat is None else flat + part
+    return flat
+
+
 def _fwd_level_kernel(coords_ref, f1_ref, f2_ref, out_ref, rows_ref,
-                      *, radius, scale, Hl, Wp, precision):
+                      *, radius, scale, Hl, Wp, precision, inv_sqrt_c):
     """One grid step: QT queries of one batch element at one pyramid level.
 
     coords_ref: VMEM [1, QT, 2] level-0 (x, y) centers (scaled by `scale` here).
     f1_ref:     VMEM [1, QT, C].
     f2_ref:     VMEM [1, Hl*Wp, C] — constant index in the query grid dim (resident).
-    out_ref:    VMEM [1, QT, K, K] window, [dx, dy] order.
+    out_ref:    VMEM [1, QT, K*K] flat window (k = a*K + b), already 1/sqrt(C)-scaled.
     rows_ref:   VMEM scratch [QT, Hl, Wp].
     """
     f1 = f1_ref[0]
@@ -120,16 +150,20 @@ def _fwd_level_kernel(coords_ref, f1_ref, f2_ref, out_ref, rows_ref,
         precision=precision,
     )
     # win[q, a, b] = sum_h u[q, a, h] * Y[q, b, h]  -> dx-major, reference order
-    out_ref[0] = jax.lax.dot_general(
+    win = jax.lax.dot_general(
         u, Y,
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+    out_ref[0] = (
+        _flatten_win(win, radius, out_ref.dtype) * inv_sqrt_c
+    ).astype(out_ref.dtype)
 
 
 def _fwd_level_stream_kernel(coords_ref, f1_ref, f2c_ref, out_ref, rows_ref,
-                             *, radius, scale, CH, Wp, precision):
+                             *, radius, scale, CH, Wp, precision, inv_sqrt_c,
+                             final_dtype):
     """Streaming variant: grid (B, nH, nQ); one h-chunk of fmap2 per step.
 
     Used when a level's fmap2 exceeds the VMEM residency budget (frames beyond
@@ -152,10 +186,15 @@ def _fwd_level_stream_kernel(coords_ref, f1_ref, f2c_ref, out_ref, rows_ref,
         X, rows_ref[:], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     )
-    out_ref[0, 0] = jax.lax.dot_general(
+    win = jax.lax.dot_general(
         u, Y, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     )
+    # partials stay fp32 for the nH accumulation; placement precision follows
+    # the FINAL output dtype
+    out_ref[0, 0] = (
+        _flatten_win(win, radius, final_dtype) * inv_sqrt_c
+    ).astype(out_ref.dtype)
 
 
 def _drows_into_scratch(coords_ref, g_ref, drows_ref, *, radius, scale, Hl, Wp,
@@ -310,16 +349,20 @@ def _flatten_f2(f2, Wp, Hpad=None):
     return f2p.reshape(B, Hpad * Wp, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _ondemand_pallas(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
-                     precision, interpret):
-    return _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret)
+                     precision, interpret, out_dtype):
+    return _fwd_impl(
+        fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret, out_dtype
+    )
 
 
-def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
+def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret,
+              out_dtype=jnp.float32):
     B, h, w, C = fmap1.shape
     Q = h * w
     K = 2 * radius + 1
+    inv_sqrt_c = float(C) ** -0.5
     f1 = _pad_q(fmap1.reshape(B, Q, C).astype(jnp.float32), qt)
     cf = _pad_q(coords.reshape(B, Q, 2).astype(jnp.float32), qt)
     Qp = f1.shape[1]
@@ -332,7 +375,7 @@ def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
             out = pl.pallas_call(
                 functools.partial(
                     _fwd_level_kernel, radius=radius, scale=0.5**lvl,
-                    Hl=Hl, Wp=Wp, precision=precision,
+                    Hl=Hl, Wp=Wp, precision=precision, inv_sqrt_c=inv_sqrt_c,
                 ),
                 grid=(B, Qp // qt),
                 in_specs=[
@@ -340,17 +383,19 @@ def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
                     pl.BlockSpec((1, qt, C), lambda b, q: (b, q, 0)),
                     pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct((B, Qp, K, K), jnp.float32),
+                out_specs=pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, Qp, K * K), out_dtype),
                 scratch_shapes=[pltpu.VMEM((qt, Hl, Wp), jnp.float32)],
                 interpret=interpret,
             )(cf, f1, f2flat)
         else:
+            # partials accumulate over nH in fp32; cast after the sum
             f2flat = _flatten_f2(f2, Wp, Hpad=nH * CH)
             partials = pl.pallas_call(
                 functools.partial(
                     _fwd_level_stream_kernel, radius=radius, scale=0.5**lvl,
-                    CH=CH, Wp=Wp, precision=precision,
+                    CH=CH, Wp=Wp, precision=precision, inv_sqrt_c=inv_sqrt_c,
+                    final_dtype=out_dtype,
                 ),
                 grid=(B, nH, Qp // qt),
                 in_specs=[
@@ -359,27 +404,28 @@ def _fwd_impl(fmap1, fmap2_pyramid, coords, radius, qt, precision, interpret):
                     pl.BlockSpec((1, CH * Wp, C), lambda b, h, q: (b, h, 0)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, 1, qt, K, K), lambda b, h, q: (b, h, q, 0, 0)
+                    (1, 1, qt, K * K), lambda b, h, q: (b, h, q, 0)
                 ),
-                out_shape=jax.ShapeDtypeStruct((B, nH, Qp, K, K), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((B, nH, Qp, K * K), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((qt, CH, Wp), jnp.float32)],
                 interpret=interpret,
             )(cf, f1, f2flat)
-            out = jnp.sum(partials, axis=1)
-        outs.append(out[:, :Q].reshape(B, Q, K * K))
+            out = jnp.sum(partials, axis=1).astype(out_dtype)
+        outs.append(out[:, :Q])
 
-    res = jnp.concatenate(outs, axis=-1) * (1.0 / jnp.sqrt(jnp.float32(C)))
+    res = jnp.concatenate(outs, axis=-1)
     return res.reshape(B, h, w, len(fmap2_pyramid) * K * K)
 
 
 def _ondemand_fwd(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
-                  precision, interpret):
+                  precision, interpret, out_dtype):
     out = _ondemand_pallas(fmap1, fmap2_pyramid, coords, radius, qt, qt_bwd,
-                           precision, interpret)
+                           precision, interpret, out_dtype)
     return out, (fmap1, fmap2_pyramid, coords)
 
 
-def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, residuals, g):
+def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
+                  residuals, g):
     fmap1, fmap2_pyramid, coords = residuals
     B, h, w, C = fmap1.shape
     Q = h * w
@@ -486,6 +532,7 @@ def ondemand_corr_pyramid_pallas(
     qt_bwd: int = 32,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """On-demand multi-level windowed correlation, Pallas TPU kernels (fwd + VJP).
 
@@ -499,5 +546,5 @@ def ondemand_corr_pyramid_pallas(
     """
     return _ondemand_pallas(
         fmap1, tuple(fmap2_pyramid), coords, radius, qt, qt_bwd, precision,
-        bool(interpret),
+        bool(interpret), out_dtype,
     )

@@ -74,7 +74,8 @@ class RAFTConfig:
 
 
 def _ondemand_corr_lookup(
-    fmap1, fmap2_pyramid, coords, radius, corr_impl="pallas", precision=None
+    fmap1, fmap2_pyramid, coords, radius, corr_impl="pallas", precision=None,
+    out_dtype=jnp.float32,
 ):
     """On-demand multi-level correlation: alt_cuda_corr equivalent.
 
@@ -89,7 +90,8 @@ def _ondemand_corr_lookup(
 
     impl = "xla" if corr_impl == "xla" else None
     return ondemand_corr_pyramid(
-        fmap1, fmap2_pyramid, coords, radius, impl=impl, precision=precision
+        fmap1, fmap2_pyramid, coords, radius, impl=impl, precision=precision,
+        out_dtype=out_dtype,
     )
 
 
@@ -122,7 +124,7 @@ class RAFTIteration(nn.Module):
             )
             corr = _ondemand_corr_lookup(
                 fmap1, f2_pyramid, coords1, cfg.corr_radius, cfg.corr_impl,
-                precision=precision,
+                precision=precision, out_dtype=cfg.compute_dtype,
             )
         elif cfg.corr_impl == "pallas":
             from raft_optical_flow_tpu.kernels.corr_lookup import (
