@@ -211,3 +211,27 @@ def test_fused_sepconv_gru_matches_reference():
     g2 = jax.grad(loss_r, argnums=(0, 1, 2))(h, x, params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_lookup_pallas_empty_pyramid_level():
+    """Floor-mode pooling can empty a level (h: 6 -> 3 -> 1 -> 0); the Pallas
+    wrapper must match the XLA path's all-out-of-bounds zeros there instead of
+    asking Mosaic for a zero-sized block (selfsup student crops hit this)."""
+    from raft_optical_flow_tpu.ops.corr import (
+        build_corr_pyramid_from_fmaps,
+        corr_pyramid_lookup,
+    )
+
+    rng = np.random.RandomState(7)
+    B, h, w, C, r = 1, 6, 12, 16, 3
+    f1 = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+    f2 = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+    pyr = build_corr_pyramid_from_fmaps(f1, f2, 4)
+    assert pyr[-1].shape[2] == 0  # the empty level under test
+    coords = jnp.asarray(rng.uniform(0, [w - 1, h - 1], (B, h, w, 2)), jnp.float32)
+
+    ref = corr_pyramid_lookup(pyr, coords, r)
+    out = corr_pyramid_lookup_pallas(pyr, coords, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    K = 2 * r + 1
+    assert np.all(np.asarray(out)[..., 3 * K * K :] == 0.0)
