@@ -199,7 +199,8 @@ def ondemand_corr_pyramid(
     fmap2_pyramid: Sequence[jax.Array],
     coords: jax.Array,
     radius: int,
-    qt: int = 128,
+    qt: int | None = None,
+    qt_bwd: int | None = None,
     interpret: bool | None = None,
     impl: str | None = None,
     precision=None,
@@ -207,8 +208,13 @@ def ondemand_corr_pyramid(
 ) -> jax.Array:
     """On-demand multi-level windowed correlation (dispatcher).
 
-    fmap1: [B, h, w, C]; fmap2_pyramid: tuple of [B, Hl, Wl, C] (level 0 = full res);
-    coords: [B, h, w, 2] level-0 pixel coords. Returns [B, h, w, L*(2r+1)^2].
+    fmap1: [B, h, w, C]; fmap2_pyramid: tuple of [B, Hl, Wl, C] (level 0 =
+    feature-map, i.e. 1/8-image, resolution); coords: [B, h, w, 2] level-0 pixel
+    coords. Returns [B, h, w, L*(2r+1)^2].
+
+    qt is the query-tile size, honored on both paths (Pallas kernel tile /
+    XLA block); qt_bwd additionally tunes the Pallas backward tile. None keeps
+    each implementation's tuned default (Pallas 64/32, XLA 128).
 
     Dispatch: on TPU the native Pallas kernels (corr_ondemand_pallas.py, fwd +
     custom VJP); on CPU this module's XLA blockwise implementation (also the
@@ -227,10 +233,14 @@ def ondemand_corr_pyramid(
         )
 
         kwargs = {} if precision is None else {"precision": precision}
+        if qt is not None:
+            kwargs["qt"] = qt
+        if qt_bwd is not None:
+            kwargs["qt_bwd"] = qt_bwd
         return ondemand_corr_pyramid_pallas(
             fmap1, tuple(fmap2_pyramid), coords, radius,
             interpret=bool(interpret), out_dtype=out_dtype, **kwargs,
         )
-    return _ondemand(fmap1, tuple(fmap2_pyramid), coords, radius, qt).astype(
-        out_dtype
-    )
+    return _ondemand(
+        fmap1, tuple(fmap2_pyramid), coords, radius, qt if qt is not None else 128
+    ).astype(out_dtype)

@@ -141,11 +141,14 @@ def _rows_block(H: int) -> int:
 
 def _cols_block(W: int) -> int:
     # small enough that the fp32 gate intermediates of a full-height block fit
-    # the 16 MB scoped-vmem budget at Sintel size
+    # the 16 MB scoped-vmem budget at Sintel size; for widths with no friendly
+    # power-of-two divisor (e.g. W=84), fall back to the largest divisor <= 32
+    # rather than the full width (which would blow the VMEM budget on large
+    # odd-width frames)
     for c in (32, 16, 8):
         if W % c == 0:
             return c
-    return W
+    return max(c for c in range(1, min(W, 32) + 1) if W % c == 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

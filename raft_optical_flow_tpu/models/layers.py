@@ -76,11 +76,15 @@ def conv(
     dtype=None,
     kernel_init=TORCH_DEFAULT_INIT,
 ) -> nn.Conv:
-    """torch-geometry nn.Conv. Default init matches torch Conv2d's default —
-    every reference model family relies on it outside the RAFT encoders (which
-    pass KAIMING_OUT_INIT, `core/extractor.py:149-156`). The ~10x-larger
-    kaiming(fan_out) gain previously used everywhere gave random-init RAFT
-    ~300 px initial flows, which stalls unsupervised (census) bootstrapping."""
+    """torch-geometry nn.Conv. Default *kernel* init matches torch Conv2d's
+    default — every reference model family relies on it outside the RAFT
+    encoders (which pass KAIMING_OUT_INIT, `core/extractor.py:149-156`). The
+    ~10x-larger kaiming(fan_out) gain previously used everywhere gave
+    random-init RAFT ~300 px initial flows, which stalls unsupervised (census)
+    bootstrapping. Biases keep flax's zeros (torch draws U(+-1/sqrt(fan_in)));
+    zero bias has the same O(1/sqrt(fan_in)) scale bound and the matched kernel
+    magnitude is what fixes the bootstrapping — checkpoint loading overwrites
+    both either way."""
     return nn.Conv(
         features=features,
         kernel_size=_as_pair(kernel_size),

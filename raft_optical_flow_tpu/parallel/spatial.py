@@ -33,8 +33,6 @@ def spatial_sharded_ondemand_corr(
     coords: [B, h, w, 2]. h must be divisible by the axis size. Returns
     [B, h, w, L*(2r+1)^2], row-sharded over `axis`.
     """
-    from jax.experimental.shard_map import shard_map
-
     from raft_optical_flow_tpu.kernels.corr_ondemand import ondemand_corr_pyramid
 
     n = mesh.shape[axis]
@@ -42,7 +40,7 @@ def spatial_sharded_ondemand_corr(
     if h % n != 0:
         raise ValueError(f"query rows ({h}) must divide the '{axis}' axis size ({n})")
 
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(ondemand_corr_pyramid, radius=radius),
         mesh=mesh,
         in_specs=(
@@ -51,6 +49,6 @@ def spatial_sharded_ondemand_corr(
             P(None, axis, None, None),              # coords: rows sharded
         ),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(fmap1, tuple(fmap2_pyramid), coords)

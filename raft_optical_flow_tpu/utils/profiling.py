@@ -87,7 +87,13 @@ def memory_analysis(compiled) -> Dict:
         if val is not None:
             out[key] = round(float(val) / 2**20, 2)
     if out:
-        out["peak_hbm_mb"] = round(sum(out.values()), 2)
+        # Upper bound: buffers overlap in time and donated/aliased args would
+        # double-count, so the sum is NOT XLA's true peak — keep it under an
+        # honest name and report the compiler's actual peak when exposed.
+        out["total_buffers_mb"] = round(sum(out.values()), 2)
+    peak = getattr(ma, "peak_memory_in_bytes", None)
+    if peak:
+        out["peak_hbm_mb"] = round(float(peak) / 2**20, 2)
     return out
 
 

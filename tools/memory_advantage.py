@@ -60,6 +60,9 @@ def analyze(H: int, W: int, alternate_corr: bool, remat: bool = False):
         "temp_gb": ma.temp_size_in_bytes / gb,
         "arg_gb": ma.argument_size_in_bytes / gb,
         "out_gb": ma.output_size_in_bytes / gb,
+        # The compiler's actual peak (buffers overlapping in time accounted);
+        # the temp+arg+out sum above is an upper bound, not the peak.
+        "peak_gb": (getattr(ma, "peak_memory_in_bytes", 0) or 0) / gb,
         "compile_s": time.time() - t0,
     }
 
@@ -77,11 +80,14 @@ def main():
                 name += " + remat"
             try:
                 r = analyze(H, W, alt, remat)
-                total = r["temp_gb"] + r["arg_gb"] + r["out_gb"]
+                # prefer the compiler's true peak; fall back to the buffer-sum
+                # upper bound when the backend doesn't expose a peak
+                total = r["peak_gb"] or (r["temp_gb"] + r["arg_gb"] + r["out_gb"])
+                bound = "peak" if r["peak_gb"] else "upper bound"
                 fits = "yes" if total < 16.0 else f"NO ({total:.1f} GB)"
                 print(
                     f"| {H}x{W} | {name} | {r['temp_gb']:.2f} | {r['arg_gb']:.2f} "
-                    f"| {fits} |  (compile {r['compile_s']:.0f}s)",
+                    f"| {fits} ({total:.2f} GB {bound}) |  (compile {r['compile_s']:.0f}s)",
                     flush=True,
                 )
             except Exception as e:
