@@ -58,7 +58,12 @@ def main():
                         choices=["raft", "liteflownet3", "liteflownet3s",
                                  "liteflownet3_pseudoreg", "liteflownet3s_pseudoreg"])
     parser.add_argument("--dataset", default="sintel",
-                        choices=["chairs", "sintel", "kitti"])
+                        choices=["chairs", "sintel", "kitti", "synthetic"])
+    parser.add_argument("--synthetic_size", type=int, nargs=2, default=[128, 192],
+                        help="crop H W of the synthetic warped-pair set")
+    parser.add_argument("--synthetic_samples", type=int, default=8)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for debugging)")
     parser.add_argument("--small", action="store_true")
     parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--mixed_precision", action="store_true")
@@ -69,7 +74,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
+    import numpy as np
 
     from raft_optical_flow_tpu.data import datasets as D
     from raft_optical_flow_tpu.eval import evaluate as E
@@ -94,7 +104,16 @@ def main():
         )
         fwd = E.make_lfn3_forward(config, variables)
 
-    if args.dataset == "chairs":
+    if args.dataset == "synthetic":
+        # warped-pair set from the real demo frames with exact ground truth —
+        # the dataset-free validator path (no flow dataset ships in this image)
+        from raft_optical_flow_tpu.data.synthetic import SyntheticFlowDataset
+
+        ds = SyntheticFlowDataset(crop=tuple(args.synthetic_size),
+                                  length=args.synthetic_samples)
+        results = E.validate_sintel(fwd, _eval_samples(ds), "synthetic")
+        assert all(np.isfinite(v) for v in results.values()), results
+    elif args.dataset == "chairs":
         ds = D.FlyingChairs(None, split="validation", root=args.chairs_root)
         E.validate_chairs(fwd, _eval_samples(ds), iters=args.iters)
     elif args.dataset == "sintel":

@@ -23,16 +23,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
-def _synthetic_batches(batch_size, image_size, seed=0):
+def _synthetic_batches(batch_size, image_size, seed=0, num_shards=1, shard_id=0):
+    """Random-tensor batches (DummyDataset role). batch_size is GLOBAL; under
+    multi-host each process draws the same global batch and keeps its slice."""
     rng = np.random.RandomState(seed)
     H, W = image_size
+    lo = shard_id * (batch_size // num_shards)
+    hi = lo + batch_size // num_shards
     while True:
-        yield {
+        batch = {
             "image1": rng.uniform(0, 255, (batch_size, H, W, 3)).astype(np.float32),
             "image2": rng.uniform(0, 255, (batch_size, H, W, 3)).astype(np.float32),
             "flow": rng.uniform(-5, 5, (batch_size, H, W, 2)).astype(np.float32),
             "valid": np.ones((batch_size, H, W), np.float32),
         }
+        yield {k: v[lo:hi] for k, v in batch.items()}
 
 
 def main():
@@ -54,9 +59,30 @@ def main():
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--restore_ckpt", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume full train state from the latest orbax checkpoint")
     parser.add_argument("--checkpoint_dir", default="checkpoints")
     parser.add_argument("--val_freq", type=int, default=5000)
+    parser.add_argument("--dist_coordinator", default=None,
+                        help="multi-host: coordinator address host:port")
+    parser.add_argument("--dist_num_processes", type=int, default=None)
+    parser.add_argument("--dist_process_id", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for debugging)")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax as _jax_cfg
+
+        _jax_cfg.config.update("jax_platforms", args.platform)
+
+    # Multi-host SPMD: connect before any other jax use (no-op single-process).
+    from raft_optical_flow_tpu.parallel import distributed
+
+    distributed.initialize(args.dist_coordinator, args.dist_num_processes,
+                           args.dist_process_id)
+
+    import jax
 
     from raft_optical_flow_tpu.train.trainers import FlowTrainer, OptimConfig
     from raft_optical_flow_tpu.utils.torch_convert import load_flax_checkpoint
@@ -81,19 +107,28 @@ def main():
     )
 
     if args.synthetic:
-        data_iter = _synthetic_batches(args.batch_size, image_size, args.seed)
+        data_iter = _synthetic_batches(
+            args.batch_size, image_size, args.seed,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+        )
     else:
         from raft_optical_flow_tpu.data.datasets import fetch_dataset
-        from raft_optical_flow_tpu.data.pipeline import FlowDataLoader, prefetch_to_device
+        from raft_optical_flow_tpu.data.pipeline import FlowDataLoader
 
         roots = {args.stage: args.data_root} if args.data_root else None
         dataset = fetch_dataset(args.stage, image_size, roots=roots)
-        print(f"Training with {len(dataset)} image pairs")
-        loader = FlowDataLoader(dataset, batch_size=args.batch_size,
-                                num_workers=args.num_workers, seed=args.seed)
-        data_iter = prefetch_to_device(iter(loader), mesh=trainer.mesh)
+        if distributed.is_lead_host():
+            print(f"Training with {len(dataset)} image pairs "
+                  f"on {jax.device_count()} devices / {jax.process_count()} hosts")
+        # batch_size is GLOBAL; each host loads only its shard of every batch.
+        # trainer.run handles resume fast-forward + device prefetch itself.
+        data_iter = FlowDataLoader(dataset, batch_size=args.batch_size,
+                                   num_workers=args.num_workers, seed=args.seed,
+                                   num_shards=jax.process_count(),
+                                   shard_id=jax.process_index())
 
-    trainer.run(data_iter, num_steps=args.num_steps, val_freq=args.val_freq)
+    trainer.run(data_iter, num_steps=args.num_steps, val_freq=args.val_freq,
+                resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -43,14 +43,40 @@ def main():
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--data_root", default=None,
                         help="override the stage dataset root")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on warped-pair synthetic data (no dataset needed)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume full train state from the latest orbax checkpoint")
     parser.add_argument("--checkpoint_dir", default="checkpoints")
     parser.add_argument("--val_freq", type=int, default=5000)
+    parser.add_argument("--dist_coordinator", default=None,
+                        help="multi-host: coordinator address host:port")
+    parser.add_argument("--dist_num_processes", type=int, default=None)
+    parser.add_argument("--dist_process_id", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for debugging; "
+                             "this image registers the TPU even when "
+                             "JAX_PLATFORMS=cpu is set)")
     args = parser.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    # Multi-host SPMD: connect to the coordination service BEFORE any other jax
+    # use, so the mesh spans all hosts' devices (`train.py:172` replacement at
+    # pod scale; no-op single-process).
+    from raft_optical_flow_tpu.parallel import distributed
+
+    distributed.initialize(args.dist_coordinator, args.dist_num_processes,
+                           args.dist_process_id)
+
+    import jax
     import jax.numpy as jnp
 
     from raft_optical_flow_tpu.data.datasets import fetch_dataset
-    from raft_optical_flow_tpu.data.pipeline import FlowDataLoader, prefetch_to_device
+    from raft_optical_flow_tpu.data.pipeline import FlowDataLoader
     from raft_optical_flow_tpu.models.raft import RAFTConfig
     from raft_optical_flow_tpu.train.configs import StageConfig
     from raft_optical_flow_tpu.train.trainer import RAFTTrainer
@@ -73,12 +99,22 @@ def main():
 
     trainer = RAFTTrainer(stage, config=config, restore_variables=restore,
                           checkpoint_dir=args.checkpoint_dir)
-    roots = {args.stage: args.data_root} if args.data_root else None
-    dataset = fetch_dataset(args.stage, stage.image_size, roots=roots)
-    print(f"Training with {len(dataset)} image pairs")
+    if args.synthetic:
+        from raft_optical_flow_tpu.data.synthetic import SyntheticFlowDataset
+
+        dataset = SyntheticFlowDataset(crop=stage.image_size)
+    else:
+        roots = {args.stage: args.data_root} if args.data_root else None
+        dataset = fetch_dataset(args.stage, stage.image_size, roots=roots)
+    if distributed.is_lead_host():
+        print(f"Training with {len(dataset)} image pairs "
+              f"on {jax.device_count()} devices / {jax.process_count()} hosts")
+    # batch_size is GLOBAL; each host loads only its shard of every batch.
+    # trainer.run handles resume fast-forward + device prefetch itself.
     loader = FlowDataLoader(dataset, batch_size=args.batch_size,
-                            num_workers=args.num_workers, seed=args.seed)
-    data_iter = prefetch_to_device(iter(loader), mesh=trainer.mesh)
+                            num_workers=args.num_workers, seed=args.seed,
+                            num_shards=jax.process_count(),
+                            shard_id=jax.process_index())
 
     val_fn = None
     if args.validation:
@@ -87,7 +123,8 @@ def main():
         val_fn = make_validation_fn(args.validation, config, args.iters,
                                     data_root=args.data_root)
 
-    trainer.run(data_iter, num_steps=args.num_steps, val_fn=val_fn)
+    trainer.run(loader, num_steps=args.num_steps, val_fn=val_fn,
+                resume=args.resume)
 
 
 if __name__ == "__main__":

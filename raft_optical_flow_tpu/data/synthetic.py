@@ -64,6 +64,51 @@ def _bilinear_gather(img: np.ndarray, coords: np.ndarray) -> np.ndarray:
             + fy * ((1 - fx) * img[y0 + 1, x0] + fx * img[y0 + 1, x0 + 1]))
 
 
+class SyntheticFlowDataset:
+    """FlowDataset-compatible warped-pair dataset (deterministic per index).
+
+    Drop-in for `fetch_dataset` results wherever no flow dataset exists on disk
+    (the reference's DummyDataset role, `train_simple_flow.py:180-228`, but with
+    real photometric structure and exact ground-truth flow). Samples are a pure
+    function of (index, rng): the same index always yields the same pair when
+    the loader supplies its deterministic per-sample rng, so multi-host runs
+    sharding this dataset reproduce single-host runs exactly.
+    """
+
+    def __init__(
+        self,
+        crop: Tuple[int, int] = (64, 96),
+        length: int = 1024,
+        max_flow: float = 6.0,
+        frames_dir: Optional[str] = None,
+    ):
+        self.frames = _load_frames(frames_dir or DEFAULT_FRAMES)
+        self.crop = crop
+        self.length = length
+        self.max_flow = max_flow
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int, rng=None):
+        if rng is None:
+            rng = np.random.default_rng(index)
+        # legacy RandomState API used by the pair generator below
+        r = np.random.RandomState(int(rng.integers(2**31)))
+        ch, cw = self.crop
+        margin = int(np.ceil(self.max_flow)) + 2
+        img = self.frames[r.randint(len(self.frames))]
+        H, W = img.shape[:2]
+        y0 = r.randint(margin, H - ch - margin)
+        x0 = r.randint(margin, W - cw - margin)
+        gy, gx = np.mgrid[0:ch, 0:cw].astype(np.float32)
+        g = _smooth_flow(r, ch, cw, self.max_flow)
+        coords = np.stack([gx + x0 + g[..., 0], gy + y0 + g[..., 1]], axis=-1)
+        image1 = _bilinear_gather(img, coords).astype(np.float32)
+        image2 = img[y0 : y0 + ch, x0 : x0 + cw].astype(np.float32)
+        return image1, image2, g, np.ones((ch, cw), np.float32)
+
+
 def warped_pair_batches(
     batch_size: int,
     crop: Tuple[int, int] = (64, 96),

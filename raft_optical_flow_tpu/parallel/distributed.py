@@ -42,11 +42,14 @@ def initialize(
 
     if num_processes is None and coordinator_address is None:
         # no explicit request: only initialize when the environment declares a
-        # multi-process setup (manual env vars or cloud TPU metadata).
+        # multi-process setup — an explicit coordinator address, or a TPU pod
+        # worker list with MORE than one host (single-host images, including
+        # the tunneled-TPU one, set TPU_WORKER_HOSTNAMES to one name).
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
         if not (
             os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS")
-            or os.environ.get("TPU_WORKER_HOSTNAMES")
+            or "," in workers
         ):
             return
     jax.distributed.initialize(
@@ -61,6 +64,42 @@ def process_info():
     import jax
 
     return jax.process_index(), jax.process_count()
+
+
+def is_lead_host() -> bool:
+    """True on the process that owns logging and checkpoint writes.
+
+    In multi-host SPMD every process computes identical replicated metrics and
+    parameters; only process 0 should print or write them (the hosts share a
+    filesystem in pod setups, so concurrent orbax writes to one directory race).
+    """
+    import jax
+
+    return jax.process_index() == 0
+
+
+def fetch_replicated(tree):
+    """Host-local numpy copy of fully-replicated (possibly multi-host) arrays.
+
+    `np.asarray` / `jax.device_get` on a non-fully-addressable `jax.Array`
+    routes through cross-host transfer machinery — a collective that every
+    process must join, so calling it behind an `if lead:` gate deadlocks the
+    pod (observed as a Gloo `GetKeyValue timed out` on the CPU mesh). For
+    REPLICATED values (step metrics, parameters after an SPMD step) the local
+    shard already holds the full value: copy from `addressable_data(0)`
+    instead, which is collective-free and safe to call on any subset of
+    processes. Single-process / fully-addressable arrays take the plain
+    device_get path.
+    """
+    import jax
+    import numpy as np
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def assert_batch_divisible(global_batch_size: int) -> int:

@@ -80,9 +80,27 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     DataParallel's scatter (`train.py:172`) that also spans hosts.
     """
     sh = batch_sharding(mesh, axis)
+    n_shards = mesh.shape[axis]
+    for leaf in jax.tree.leaves(batch):
+        n = np.shape(leaf)[0] * (jax.process_count() if jax.process_count() > 1
+                                 and getattr(leaf, "is_fully_addressable", True)
+                                 else 1)
+        if n % n_shards:
+            raise ValueError(
+                f"global batch size {n} not divisible by the mesh '{axis}' "
+                f"axis ({n_shards} devices) — pick a batch size that is a "
+                f"multiple of the device count"
+            )
+        break
     if jax.process_count() > 1:
+        # Idempotent: a leaf that is already a global (non-fully-addressable)
+        # array — e.g. a batch that went through prefetch_to_device(mesh=...)
+        # before reaching the trainer — passes through unchanged; assembling
+        # it again would require host-local data that no longer exists.
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            lambda x: x
+            if isinstance(x, jax.Array) and not x.is_fully_addressable
+            else jax.make_array_from_process_local_data(sh, np.asarray(x)),
             batch,
         )
     if mesh.devices.size == 1:

@@ -245,35 +245,53 @@ class RAFTTrainer:
         deterministic sample stream to the restored step) or a plain batch
         iterator (resume re-reads it from its current position).
         """
+        from raft_optical_flow_tpu.parallel.distributed import (
+            fetch_replicated,
+            is_lead_host,
+        )
         from raft_optical_flow_tpu.utils.checkpoint import (
             CheckpointManager,
             best_checkpoint_metric,
         )
 
         num_steps = num_steps or self.stage.num_steps
+        lead = is_lead_host()
         mgr = CheckpointManager(
             os.path.join(self.checkpoint_dir, f"{self.stage.name}_state"),
             keep_every=self.stage.val_freq,
         )
         if resume:
             self.state, ok = mgr.restore_latest(self.state)
-            if ok:
-                print(f"resumed from step {int(self.state.step)}")
+            if ok and lead:
+                print(f"resumed from step {int(fetch_replicated(self.state.step))}")
+        start = int(fetch_replicated(self.state.step))
         if hasattr(data_iter, "epochs"):
-            data_iter = data_iter.epochs(skip_batches=int(self.state.step))
-        for step in range(int(self.state.step), num_steps):
+            from raft_optical_flow_tpu.data.pipeline import prefetch_to_device
+
+            data_iter = prefetch_to_device(
+                data_iter.epochs(skip_batches=start), mesh=self.mesh,
+            )
+        for step in range(start, num_steps):
             batch = next(data_iter)
-            metrics = self.train_step(batch)
-            self.logger.push(jax.tree.map(float, metrics))
+            # every process fetches (collective-free local-shard copy); only
+            # the lead logs/writes — asymmetric jax fetches deadlock the pod
+            metrics = fetch_replicated(self.train_step(batch))
+            if lead:
+                self.logger.push(jax.tree.map(float, metrics))
             if (step + 1) % self.stage.val_freq == 0:
-                self.save_checkpoint(f"{self.stage.name}_{step + 1}")
+                if lead:
+                    self.save_checkpoint(f"{self.stage.name}_{step + 1}")
                 metric = None
                 if val_fn is not None:
                     results = val_fn(self.variables)
-                    self.logger.write_dict(results)
+                    if lead:
+                        self.logger.write_dict(results)
                     metric = best_checkpoint_metric(results)
+                # orbax save is COLLECTIVE: every process participates, the
+                # primary host writes (lead-gating it deadlocks the pod)
                 mgr.save(self.state, step + 1, metric)
-        self.save_checkpoint(self.stage.name)
+        if lead:
+            self.save_checkpoint(self.stage.name)
         mgr.save(self.state, num_steps)
         return self.state
 
@@ -287,9 +305,10 @@ class RAFTTrainer:
     def save_checkpoint(self, name: str):
         import os
 
+        from raft_optical_flow_tpu.parallel.distributed import fetch_replicated
         from raft_optical_flow_tpu.utils.torch_convert import save_flax_checkpoint
 
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         path = os.path.join(self.checkpoint_dir, f"{name}.npz")
-        save_flax_checkpoint(jax.tree.map(lambda x: jax.device_get(x), self.variables), path)
+        save_flax_checkpoint(fetch_replicated(self.variables), path)
         return path

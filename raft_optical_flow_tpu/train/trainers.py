@@ -187,6 +187,7 @@ def uflow_unsup_train_step(
     iters: int = 4,
     occlusion_estimation: str = "wang",
     occlusion_warmup_steps: int = 100,
+    selfsup_ramp_steps: int = 400,
 ):
     """UFlow-style unsupervised step on RAFT-small: census + edge-aware smooth2 +
     self-supervision (`uflow_loss_pytorch.py:643-795`, the loss library the
@@ -197,6 +198,15 @@ def uflow_unsup_train_step(
     on a fixed border crop of the frames, and the teacher's flow — cropped into
     the student frame by losses.uflow.selfsup_crop_transforms — supervises it
     where forward-backward consistency says the teacher is reliable.
+
+    Schedules (the reference recipe anneals both, `uflow_loss_pytorch.py:643+`
+    / the UFlow paper's --selfsup_after_num_steps): occlusion masking activates
+    at `occlusion_warmup_steps` (random early flows mark everything occluded),
+    and the selfsup weight ramps 0 -> weights['selfsup'] linearly over
+    `selfsup_ramp_steps` after that point — a teacher that hasn't bootstrapped
+    yet only teaches the student its own noise. `weights={'selfsup': 0}` (or a
+    weights dict without the key) statically skips the student passes entirely:
+    the photometric-only ablation runs 2 model applies instead of 4.
     """
     from raft_optical_flow_tpu.losses import uflow
     from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
@@ -208,13 +218,14 @@ def uflow_unsup_train_step(
         "edge_constant": 150.0,
         "selfsup": 0.3,
     }
+    use_selfsup = float(weights.get("selfsup", 0.0)) != 0.0  # static
     model = RAFT(config)
     img1, img2 = batch["image1"], batch["image2"]  # 0-255 (RAFT convention)
     c = selfsup_crop
     assert c % 4 == 0, "selfsup_crop must divide the 3-level pyramid"
     img1_crop = img1[:, c:-c, c:-c]
     img2_crop = img2[:, c:-c, c:-c]
-    transforms = uflow.selfsup_crop_transforms(c, c)
+    transforms = uflow.selfsup_crop_transforms(c, c) if use_selfsup else None
 
     def pyramid(flow):
         """[full, /2, /4] resize pyramid (UFlow losses consume 3 levels)."""
@@ -242,9 +253,10 @@ def uflow_unsup_train_step(
         # teacher = the same flows with gradients stopped (no photometric aug)
         flows[(0, 1, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(0, 1, "augmented-student")]]
         flows[(1, 0, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(1, 0, "augmented-student")]]
-        # student on the cropped view
-        flows[(0, 1, "transformed-student")] = pyramid(run(img1_crop, img2_crop))
-        flows[(1, 0, "transformed-student")] = pyramid(run(img2_crop, img1_crop))
+        if use_selfsup:
+            # student on the cropped view
+            flows[(0, 1, "transformed-student")] = pyramid(run(img1_crop, img2_crop))
+            flows[(1, 0, "transformed-student")] = pyramid(run(img2_crop, img1_crop))
 
         warps, valid_masks, _, occ_masks, fb_sq_diff, fb_sum_sq = (
             uflow.compute_warps_and_occlusion(flows, occlusion_estimation)
@@ -261,8 +273,20 @@ def uflow_unsup_train_step(
         aug_warps = {k: v for k, v in warps.items() if k[2] == "augmented-student"}
         warped_images = uflow.apply_warps_stop_grad(images, aug_warps, level=0)
 
+        step_weights = dict(weights)
+        if use_selfsup:
+            # linear selfsup ramp once the occlusion masks are live: the
+            # teacher must bootstrap before it is worth imitating
+            ramp = jnp.clip(
+                (state.step - occlusion_warmup_steps).astype(jnp.float32)
+                / float(max(selfsup_ramp_steps, 1)),
+                0.0, 1.0,
+            )
+            step_weights["selfsup"] = weights["selfsup"] * ramp
+        else:
+            step_weights.pop("selfsup", None)
         losses = uflow.compute_loss(
-            weights, images, flows, warps, valid_masks, occ_masks,
+            step_weights, images, flows, warps, valid_masks, occ_masks,
             fb_sq_diff, fb_sum_sq, warped_images,
             selfsup_transform_fns=transforms,
         )
@@ -318,8 +342,8 @@ class FlowTrainer:
         "simple_flow_unsup": simple_flow_unsup_train_step,
         "ifnet": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=False),
         "ifnet_unsup": lambda s, b, config=None: ifnet_train_step(s, b, unsupervised=True),
-        "raft_uflow_unsup": lambda s, b, config=None: uflow_unsup_train_step(
-            s, b, config=config
+        "raft_uflow_unsup": lambda s, b, config=None, **kw: uflow_unsup_train_step(
+            s, b, config=config, **kw
         ),
     }
 
@@ -333,6 +357,7 @@ class FlowTrainer:
         seed: int = 1234,
         restore_variables: Optional[Dict] = None,
         checkpoint_dir: str = "checkpoints",
+        step_kwargs: Optional[Dict[str, Any]] = None,
     ):
         if model_kind not in self.STEP_FNS:
             raise ValueError(f"unknown model_kind {model_kind!r}")
@@ -390,8 +415,9 @@ class FlowTrainer:
 
         step_fn = self.STEP_FNS[model_kind]
         cfg = self.model_config
+        kw = step_kwargs or {}  # static per-kind knobs (e.g. uflow schedules)
         self._step = jax.jit(
-            lambda state, batch: step_fn(state, batch, config=cfg),
+            lambda state, batch: step_fn(state, batch, config=cfg, **kw),
             donate_argnums=(0,),
         )
 
@@ -409,43 +435,61 @@ class FlowTrainer:
         """Main loop: periodic val + weights .npz + full-state orbax checkpoints
         (latest/best/periodic, optimizer included — the reference's richer trainer
         checkpoint policy, `train_liteflownet3.py:549-567`)."""
+        from raft_optical_flow_tpu.parallel.distributed import (
+            fetch_replicated,
+            is_lead_host,
+        )
         from raft_optical_flow_tpu.utils.checkpoint import (
             CheckpointManager,
             best_checkpoint_metric,
         )
 
+        lead = is_lead_host()
         mgr = CheckpointManager(
             os.path.join(self.checkpoint_dir, f"{self.model_kind}_state"),
             keep_every=val_freq,
         )
         if resume:
             self.state, ok = mgr.restore_latest(self.state)
-            if ok:
-                print(f"resumed from step {int(self.state.step)}")
-        start = int(self.state.step)
+            if ok and lead:
+                print(f"resumed from step {int(fetch_replicated(self.state.step))}")
+        start = int(fetch_replicated(self.state.step))
         if hasattr(data_iter, "epochs"):
-            data_iter = data_iter.epochs(skip_batches=start)
+            from raft_optical_flow_tpu.data.pipeline import prefetch_to_device
+
+            data_iter = prefetch_to_device(
+                data_iter.epochs(skip_batches=start), mesh=self.mesh
+            )
         for step in range(start, num_steps):
-            metrics = self.train_step(next(data_iter))
-            self.logger.push(jax.tree.map(float, metrics))
+            # every process fetches (collective-free local-shard copy); only
+            # the lead logs/writes — asymmetric jax fetches deadlock the pod
+            metrics = fetch_replicated(self.train_step(next(data_iter)))
+            if lead:
+                self.logger.push(jax.tree.map(float, metrics))
             if (step + 1) % val_freq == 0:
-                self.save_checkpoint(f"{self.model_kind}_{step + 1}")
+                if lead:
+                    self.save_checkpoint(f"{self.model_kind}_{step + 1}")
                 metric = None
                 if val_fn is not None:
                     results = val_fn(self.variables)
-                    self.logger.write_dict(results)
+                    if lead:
+                        self.logger.write_dict(results)
                     metric = best_checkpoint_metric(results)
+                # orbax save is COLLECTIVE: every process participates, the
+                # primary host writes (lead-gating it deadlocks the pod)
                 mgr.save(self.state, step + 1, metric)
-        self.save_checkpoint(self.model_kind)
+        if lead:
+            self.save_checkpoint(self.model_kind)
         mgr.save(self.state, num_steps)
         return self.state
 
     def save_checkpoint(self, name: str):
         import os
 
+        from raft_optical_flow_tpu.parallel.distributed import fetch_replicated
         from raft_optical_flow_tpu.utils.torch_convert import save_flax_checkpoint
 
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         path = os.path.join(self.checkpoint_dir, f"{name}.npz")
-        save_flax_checkpoint(jax.tree.map(jax.device_get, self.variables), path)
+        save_flax_checkpoint(fetch_replicated(self.variables), path)
         return path

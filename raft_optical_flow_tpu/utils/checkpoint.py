@@ -51,14 +51,23 @@ def _ocp():
 
 
 def save_train_state(directory: str, tag: str, state, extra: Optional[Dict] = None):
-    """Save {step, params, batch_stats, opt_state} (+ extra metadata) under tag."""
+    """Save {step, params, batch_stats, opt_state} (+ extra metadata) under tag.
+
+    COLLECTIVE under multi-host SPMD: orbax synchronizes processes internally
+    (process_allgather + barriers), so every process must call this at the
+    same point; orbax then writes replicated/numpy data from the primary host
+    only. The fetches below are collective-free local-shard copies so the
+    payload orbax sees is plain numpy.
+    """
+    from raft_optical_flow_tpu.parallel.distributed import fetch_replicated
+
     ocp = _ocp()
     path = os.path.abspath(os.path.join(directory, tag))
     payload = {
-        "step": np.asarray(state.step),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(fetch_replicated(state.step)),
+        "params": fetch_replicated(state.params),
+        "batch_stats": fetch_replicated(state.batch_stats),
+        "opt_state": fetch_replicated(state.opt_state),
     }
     if extra:
         payload["extra"] = extra
@@ -69,13 +78,15 @@ def save_train_state(directory: str, tag: str, state, extra: Optional[Dict] = No
 
 def restore_train_state(directory: str, tag: str, state):
     """Restore into the structure of `state` (tx preserved); returns new state."""
+    from raft_optical_flow_tpu.parallel.distributed import fetch_replicated
+
     ocp = _ocp()
     path = os.path.abspath(os.path.join(directory, tag))
     template = {
-        "step": np.asarray(state.step),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(fetch_replicated(state.step)),
+        "params": fetch_replicated(state.params),
+        "batch_stats": fetch_replicated(state.batch_stats),
+        "opt_state": fetch_replicated(state.opt_state),
     }
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path, item=template)
@@ -125,14 +136,20 @@ class CheckpointManager:
             return float("inf")
 
     def save(self, state, step: int, metric: Optional[float] = None, extra=None):
+        """COLLECTIVE under multi-host SPMD (see save_train_state): every
+        process calls it with identical (replicated) state/metric; only the
+        lead writes the plain-file metadata."""
+        from raft_optical_flow_tpu.parallel.distributed import is_lead_host
+
         save_train_state(self.directory, "latest", state, extra)
         if step % self.keep_every == 0:
             save_train_state(self.directory, f"step_{step:08d}", state, extra)
         if metric is not None and metric < self.best_metric:
             self.best_metric = metric
             save_train_state(self.directory, "best", state, extra)
-            with open(self._best_path(), "w") as f:
-                json.dump({"best_metric": metric, "step": step}, f)
+            if is_lead_host():
+                with open(self._best_path(), "w") as f:
+                    json.dump({"best_metric": metric, "step": step}, f)
 
     def restore_latest(self, state):
         tag = latest_tag(self.directory)
