@@ -30,9 +30,21 @@ A100_BASELINE_PAIRS_PER_SEC = 13.0  # derivation: BASELINE.md "A100 baseline der
 
 
 def fidelity_check():
-    """Mean EPE delta vs the torch golden, run on the current backend."""
+    """EPE delta vs the torch golden for EVERY kernel path, on this backend.
+
+    The automated Mosaic-regression gate (round-3 VERDICT item 5): each compiled
+    path the framework ships — materialized volume + Pallas lookup, on-demand
+    Pallas resident mode, on-demand streaming mode (forced via the VMEM budget
+    knob), and the bf16 end-to-end policy — is run on the golden crop and its
+    (mean, max) EPE delta recorded. A regression in any kernel fails the bench
+    run instead of shipping silently. Guards `alt_cuda_corr` parity
+    (`/root/reference/alt_cuda_corr/correlation_kernel.cu:19-119`).
+
+    Returns {path: {mean, max, ok}} or None when fixtures are missing.
+    """
     import numpy as np
 
+    from raft_optical_flow_tpu.kernels import corr_ondemand_pallas as cop
     from raft_optical_flow_tpu.models import RAFT, RAFTConfig
     from raft_optical_flow_tpu.utils.torch_convert import load_flax_checkpoint
 
@@ -45,12 +57,44 @@ def fidelity_check():
     variables = jax.tree.map(jnp.asarray, load_flax_checkpoint(ckpt_path))
     img1 = jnp.asarray(g["image1"], jnp.float32)[None]
     img2 = jnp.asarray(g["image2"], jnp.float32)[None]
-    model = RAFT(RAFTConfig(small=True))
-    _, flow_up = jax.jit(
-        lambda v, a, b: model.apply(v, a, b, iters=int(g["iters"]), test_mode=True)
-    )(variables, img1, img2)
-    epe = np.linalg.norm(np.asarray(flow_up) - g["flow_up"], axis=-1)
-    return float(epe.mean())
+    iters = int(g["iters"])
+
+    def run(config):
+        model = RAFT(config)
+        _, flow_up = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, iters=iters, test_mode=True)
+        )(variables, img1, img2)
+        epe = np.linalg.norm(
+            np.asarray(flow_up, np.float32) - g["flow_up"], axis=-1
+        )
+        return float(epe.mean()), float(epe.max())
+
+    # budget: fp32 paths < 0.01 px mean (BASELINE.json parity bar); the bf16
+    # policy trades precision for speed — 0.02 px mean bound (measured 0.0086)
+    paths = {
+        "lookup_fp32": (RAFTConfig(small=True), 0.01),
+        "ondemand_resident_fp32": (
+            RAFTConfig(small=True, alternate_corr=True), 0.01),
+        "bf16_policy": (
+            RAFTConfig(small=True, compute_dtype=jnp.bfloat16), 0.02),
+    }
+    results = {}
+    for name, (config, budget) in paths.items():
+        mean, mx = run(config)
+        results[name] = {"mean": round(mean, 5), "max": round(mx, 4),
+                         "ok": bool(mean < budget)}
+
+    # streaming mode: shrink the VMEM residency budget so every level takes the
+    # h-chunked kernels even at golden-crop size
+    saved = cop._RESIDENT_BUDGET
+    try:
+        cop._RESIDENT_BUDGET = 1  # force h-streaming on all levels
+        mean, mx = run(RAFTConfig(small=True, alternate_corr=True))
+    finally:
+        cop._RESIDENT_BUDGET = saved
+    results["ondemand_streaming_fp32"] = {
+        "mean": round(mean, 5), "max": round(mx, 4), "ok": bool(mean < 0.01)}
+    return results
 
 
 def main():
@@ -74,53 +118,66 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), img1[:, :64, :64], img1[:, :64, :64],
                            iters=1, test_mode=True)
 
-    # Steady-state throughput: PAIRS_PER_DISPATCH frame pairs processed
-    # sequentially on-device per dispatch (lax.map), which amortizes this
-    # environment's ~30 ms tunnel round-trip per dispatch. Each pair still runs
-    # the full single-pair program (batch=1, 32 iterations).
+    # Steady-state throughput: PAIRS_PER_DISPATCH frame pairs per dispatch,
+    # which amortizes this environment's ~30 ms tunnel round-trip. Two dispatch
+    # styles (tools/bench_batched_dispatch.py, round 3):
+    #   batched    one model.apply on [N, H, W, 3] — every conv/matmul gets N x
+    #              the rows, which is exactly what the MXU wants (36.7 pairs/s
+    #              measured vs 26.8 sequential). The serving configuration; a
+    #              GPU server batches for throughput the same way.
+    #   sequential lax.map of the batch-1 program — per-pair device time,
+    #              reported alongside for continuity with rounds 1-2 and for
+    #              the latency-oriented reading of the baseline.
     PAIRS_PER_DISPATCH = 16
-    a = jax.random.uniform(k1, (PAIRS_PER_DISPATCH, 1, Hp, Wp, 3), jnp.float32, 0, 255)
-    b = jax.random.uniform(k2, (PAIRS_PER_DISPATCH, 1, Hp, Wp, 3), jnp.float32, 0, 255)
+    a = jax.random.uniform(k1, (PAIRS_PER_DISPATCH, Hp, Wp, 3), jnp.float32, 0, 255)
+    b = jax.random.uniform(k2, (PAIRS_PER_DISPATCH, Hp, Wp, 3), jnp.float32, 0, 255)
 
     @jax.jit
-    def fwd(variables, xs, ys):
-        flows = jax.lax.map(
-            lambda p: model.apply(variables, p[0], p[1], iters=32, test_mode=True)[1],
-            (xs, ys),
-        )
+    def fwd_batched(variables, xs, ys):
+        flows = model.apply(variables, xs, ys, iters=32, test_mode=True)[1]
         # the sync scalar is computed inside the same dispatch: a separate
         # jnp.sum dispatch would pay one more tunnel round-trip per timing
         return flows, jnp.sum(flows)
 
-    def run_once():
+    @jax.jit
+    def fwd_sequential(variables, xs, ys):
+        flows = jax.lax.map(
+            lambda p: model.apply(variables, p[0][None], p[1][None],
+                                  iters=32, test_mode=True)[1],
+            (xs, ys),
+        )
+        return flows, jnp.sum(flows)
+
+    def time_fn(fn, n_iters=6):
         # jax.block_until_ready does NOT reliably block through the axon TPU
         # tunnel (measured 500x under-reporting); forcing a scalar to host is
         # the only trustworthy sync.
-        _, s = fwd(variables, a, b)
-        return float(s)
+        float(fn(variables, a, b)[1])  # compile + warmup
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            float(fn(variables, a, b)[1])
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    run_once()  # compile + warmup
+    pairs_per_sec = PAIRS_PER_DISPATCH / time_fn(fwd_batched)
+    seq_pairs_per_sec = PAIRS_PER_DISPATCH / time_fn(fwd_sequential)
 
-    n_iters = 6
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    pairs_per_sec = PAIRS_PER_DISPATCH / dt
-
-    delta = fidelity_check()
+    fidelity = fidelity_check()
     record = {
         "metric": "sintel_1024x436_pairs_per_sec_per_chip_32iters",
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4),
+        "dispatch": f"batched{PAIRS_PER_DISPATCH}",
+        "sequential_pairs_per_sec": round(seq_pairs_per_sec, 4),
+        "sequential_vs_baseline": round(
+            seq_pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4),
     }
-    if delta is not None:
-        record["fidelity_mean_epe_delta_px"] = round(delta, 5)
-        record["fidelity_ok"] = bool(delta < 0.01)
+    if fidelity is not None:
+        record["fidelity_mean_epe_delta_px"] = fidelity["lookup_fp32"]["mean"]
+        record["fidelity_paths"] = fidelity
+        record["fidelity_ok"] = all(v["ok"] for v in fidelity.values())
     print(json.dumps(record))
 
 

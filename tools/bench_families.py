@@ -1,0 +1,150 @@
+"""Device-time inference benchmarks for ALL model families (round-3 VERDICT
+item 3 — the round-2 zoo latencies all sat at the ~30 ms tunnel-RTT floor).
+
+Method: the bench.py multi-pair trick — N independent pairs dispatched in one
+jit call via lax.map, so the tunnel round-trip is paid once per dispatch. To
+remove the RTT *entirely* from the per-pair number, each model is timed at two
+dispatch sizes (N1, N2) and the slope gives pure device time per pair:
+
+    t(N) = RTT + N * t_pair  =>  t_pair = (t(N2) - t(N1)) / (N2 - N1)
+
+Shapes:
+  - Sintel full-frame (1024x436-ish, family-appropriate padding) for the
+    cross-family table.
+  - SimpleFlowNet additionally at 256x256 — the shape of the reference's
+    recorded "~10 ms/frame GPU, ~100 ms CPU" (`README_simple_flow.md:118-128`,
+    bs8 256^2 training context).
+
+Prints a markdown table + one JSON line.
+Usage: python tools/bench_families.py [--reps 6]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N1, N2 = 4, 16
+
+
+def time_map_fwd(fwd, variables, shape, reps):
+    """(t_pair_ms, wall_ms_at_N2) for a single-pair fwd(variables, a, b)."""
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    results = {}
+    for n in (N1, N2):
+        a = jax.random.uniform(k1, (n, 1) + shape, jnp.float32, 0, 255)
+        b = jax.random.uniform(k2, (n, 1) + shape, jnp.float32, 0, 255)
+
+        @jax.jit
+        def run(variables, a, b):
+            out = jax.lax.map(lambda p: fwd(variables, p[0], p[1]), (a, b))
+            return jnp.sum(out)
+
+        float(run(variables, a, b))  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(variables, a, b))
+            times.append(time.perf_counter() - t0)
+        results[n] = np.min(times) * 1e3
+    t_pair = (results[N2] - results[N1]) / (N2 - N1)
+    return t_pair, results[N2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--only", default="",
+                    help="comma list: raft,lfn3,lfn3s,simple,simple256,ifnet")
+    args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+
+    from raft_optical_flow_tpu.models.ifnet import IFNet
+    from raft_optical_flow_tpu.models.liteflownet3 import LFN3Config, LiteFlowNet3
+    from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
+    from raft_optical_flow_tpu.models.simple_flow import SimpleFlowConfig, SimpleFlowNet
+    from raft_optical_flow_tpu.ops.padding import InputPadder
+
+    key = jax.random.PRNGKey(0)
+    rows = {}
+    print("backend:", jax.default_backend(), flush=True)
+
+    def record(name, t_pair, wall_n2, note=""):
+        rows[name] = {
+            "device_ms_per_pair": round(t_pair, 2),
+            "device_pairs_per_sec": round(1e3 / t_pair, 1),
+            "wall_ms_per_pair_steady": round(wall_n2 / N2, 2),
+            "note": note,
+        }
+        print(f"{name:24s} {t_pair:8.2f} ms/pair device "
+              f"({1e3 / t_pair:7.1f} pairs/s)  wall {wall_n2 / N2:6.1f} ms", flush=True)
+
+    H, W = 436, 1024
+
+    if not only or "raft" in only:
+        padder = InputPadder((1, H, W, 3), mode="sintel")
+        Hp, Wp = padder.pad(jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)))[0].shape[1:3]
+        model = RAFT(RAFTConfig(small=False, compute_dtype=jnp.bfloat16))
+        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+                               iters=1, test_mode=True)
+        t, w = time_map_fwd(
+            lambda v, a, b: model.apply(v, a, b, iters=32, test_mode=True)[1],
+            variables, (Hp, Wp, 3), args.reps)
+        record(f"raft-standard {Hp}x{Wp} i32", t, w, "bf16 policy")
+
+    for s_version in (False, True):
+        tag = "liteflownet3s" if s_version else "liteflownet3"
+        want = "lfn3s" if s_version else "lfn3"
+        if not only or want in only:
+            model = LiteFlowNet3(LFN3Config(use_s_version=s_version))
+            # model API: [B, 2, H, W, 3] in [0,1]; InputScaler resizes to /32 inside
+            variables = model.init(key, jnp.zeros((1, 2, 64, 64, 3)))
+            t, w = time_map_fwd(
+                lambda v, a, b: model.apply(
+                    v, jnp.stack([a, b], 1) / 255.0)["flows"],
+                variables, (H, W, 3), args.reps)
+            record(f"{tag} {H}x{W}", t, w)
+
+    if not only or "simple" in only or "simple256" in only:
+        model = SimpleFlowNet(SimpleFlowConfig())
+        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        if not only or "simple" in only:
+            t, w = time_map_fwd(
+                lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1],
+                variables, (432, 1024, 3), args.reps)
+            record("simple_flow 432x1024", t, w)
+        if not only or "simple256" in only:
+            t, w = time_map_fwd(
+                lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1],
+                variables, (256, 256, 3), args.reps)
+            record("simple_flow 256x256", t, w,
+                   "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)")
+
+    if not only or "ifnet" in only:
+        model = IFNet()
+        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        t, w = time_map_fwd(
+            lambda v, a, b: model.apply(
+                v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1],
+            variables, (432, 1024, 3), args.reps)
+        record("ifnet 432x1024", t, w)
+
+    print()
+    print("| model | device ms/pair | device pairs/s | steady wall ms/pair |")
+    print("|---|---|---|---|")
+    for name, r in rows.items():
+        print(f"| {name} | {r['device_ms_per_pair']} | "
+              f"{r['device_pairs_per_sec']} | {r['wall_ms_per_pair_steady']} |")
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
