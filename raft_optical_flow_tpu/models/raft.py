@@ -17,7 +17,12 @@ TPU-first design choices (not translations):
   - In test mode the convex upsample runs once after the scan (outputs are identical
     to upsampling every iteration and discarding all but the last).
   - `alternate_corr=True` switches to the on-demand correlation (alt_cuda_corr
-    equivalent) that never materializes the HW x HW volume.
+    equivalent) that never materializes the HW x HW volume. It matches the
+    materialized path's in-model speed (BENCH.md correlation table) at zero
+    volume memory: `alternate_corr=True, remat=True` is the recommended
+    TRAINING configuration at Sintel resolution and above (it is the only one
+    that fits 16 GB HBM at 768x1408+; BENCH.md memory table). For batched
+    inference at <=Sintel size the materialized default is faster.
 """
 
 from __future__ import annotations

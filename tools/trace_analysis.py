@@ -5,8 +5,10 @@ jax.profiler, parses the written .xplane.pb with the TF profiler protos, and
 prints per-op and per-op-class exclusive device self-times for the TPU plane.
 
 Programs (--mode):
-  infer      RAFT-standard test-mode forward, 1024x440, 32 iters, bf16 (the
-             headline bench.py program, single pair)
+  infer      RAFT-standard test-mode forward, 1024x440, 32 iters, bf16
+             (single pair; the round-1/2 headline program)
+  infer_batched16  same on a [16, 440, 1024, 3] batch — the round-3 batched
+             headline dispatch (per-pair numbers = totals / 16)
   train      supervised RAFT-standard train step (fwd+bwd through the Pallas
              custom-VJP kernels + AdamW), bs4 368x496, 12 iters, bf16 —
              `train.py:195-234` semantics
@@ -34,13 +36,13 @@ def _sync(x):
     return float(jnp.sum(x) if not isinstance(x, tuple) else sum(jnp.sum(v) for v in jax.tree.leaves(x)))
 
 
-def build_infer():
+def build_infer(batch=1):
     from raft_optical_flow_tpu.models import RAFT, RAFTConfig
 
     model = RAFT(RAFTConfig(small=False, compute_dtype=jnp.bfloat16))
     key = jax.random.PRNGKey(0)
-    img = jax.random.uniform(key, (1, 440, 1024, 3), jnp.float32, 0, 255)
-    variables = model.init(key, img[:, :64, :64], img[:, :64, :64], iters=1, test_mode=True)
+    img = jax.random.uniform(key, (batch, 440, 1024, 3), jnp.float32, 0, 255)
+    variables = model.init(key, img[:1, :64, :64], img[:1, :64, :64], iters=1, test_mode=True)
 
     @jax.jit
     def fn(variables, a, b):
@@ -173,13 +175,15 @@ def classify(name):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train",
-                    choices=["infer", "train", "train_alt", "instnorm"])
+                    choices=["infer", "infer_batched16", "train", "train_alt",
+                             "instnorm"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", default=None, help="keep trace dir at this path")
     args = ap.parse_args()
 
     build = {
         "infer": build_infer,
+        "infer_batched16": lambda: build_infer(batch=16),
         "train": build_train,
         "train_alt": lambda: build_train(alternate_corr=True, remat=True),
         "instnorm": build_instnorm,
