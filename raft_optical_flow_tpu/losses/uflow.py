@@ -16,7 +16,7 @@ CONVENTION: this module follows UFlow's (y, x) ordering — flow channels are
 (dy, dx) and warp coordinates are (y, x) — unlike the rest of the repo which is
 (x, y). Adapters at the trainer level flip channels once.
 
-TPU notes: the resampler is 4 clamped gathers (ops/grid.bilinear_sampler); the
+TPU notes: the resampler is ops/grid.bilinear_sampler (one packed-tap gather); the
 range-map scatter uses Array.at[].add (deterministic sorted scatter in XLA); all
 reductions are mask-weighted (no boolean indexing) so everything jits.
 """

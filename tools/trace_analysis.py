@@ -82,6 +82,26 @@ def build_train(alternate_corr=False, remat=False, batch=4, H=368, W=496,
     return run
 
 
+def build_ifnet(batch=4):
+    """IFNet forward at Sintel scale, batched so per-pair times rise above the
+    profiler noise (per-pair = totals / batch). Chasing the bench_families.py
+    anomaly: 34 ms/pair device time at only ~22 GFLOPs — suspected XLA-gather
+    cost in the full-resolution warp cascade (`models/ifnet.py:114-115`)."""
+    from raft_optical_flow_tpu.models.ifnet import IFNet
+
+    model = IFNet()
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (batch, 432, 1024, 3), jnp.float32)
+    variables = model.init(key, img[:1, :64, :64], img[:1, :64, :64])
+
+    @jax.jit
+    def fn(variables, a, b):
+        flow_list, _, _ = model.apply(variables, a, b)
+        return flow_list[-1]
+
+    return lambda: _sync(fn(variables, img, img))
+
+
 def build_instnorm():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_instnorm import chain, in_reduce
@@ -176,7 +196,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train",
                     choices=["infer", "infer_batched16", "train", "train_alt",
-                             "instnorm"])
+                             "instnorm", "ifnet"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", default=None, help="keep trace dir at this path")
     args = ap.parse_args()
@@ -187,6 +207,7 @@ def main():
         "train": build_train,
         "train_alt": lambda: build_train(alternate_corr=True, remat=True),
         "instnorm": build_instnorm,
+        "ifnet": build_ifnet,
     }[args.mode]
     run = build()
     run()  # compile + warm

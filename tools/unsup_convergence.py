@@ -64,14 +64,70 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96)):
     return out
 
 
+def gt_census_floor(batches: int = 25, batch_size: int = 8, crop=(64, 96)):
+    """Census loss evaluated AT the ground-truth flow on the same data.
+
+    Census compares (interpolation-blurred) warped images, so it has a data
+    floor well above 0 — this measures it, giving the convergence runs an
+    attainable target instead of an implicit 0. Backward flow is approximated
+    by -gt (exact for constant fields, tight for the smooth low-frequency
+    fields data/synthetic.py generates).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raft_optical_flow_tpu.data.synthetic import warped_pair_batches
+    from raft_optical_flow_tpu.losses import uflow
+
+    def pyramid(flow):
+        _, H, W, _ = flow.shape
+        return [
+            flow,
+            uflow.resize(flow, H // 2, W // 2, is_flow=True),
+            uflow.resize(flow, H // 4, W // 4, is_flow=True),
+        ]
+
+    @jax.jit
+    def census_at(img1, img2, gt):
+        fw = gt[..., ::-1]  # (x, y) -> losses/uflow.py's (y, x)
+        flows = {}
+        for key, f in (((0, 1), fw), ((1, 0), -fw)):
+            flows[key + ("augmented-student",)] = pyramid(f)
+            flows[key + ("original-teacher",)] = pyramid(f)
+        warps, valid_masks, _, occ_masks, fb_sq, fb_sum = (
+            uflow.compute_warps_and_occlusion(flows, "wang")
+        )
+        images = {0: img1 / 255.0, 1: img2 / 255.0}
+        aug = {k: v for k, v in warps.items() if k[2] == "augmented-student"}
+        warped = uflow.apply_warps_stop_grad(images, aug, level=0)
+        losses = uflow.compute_loss(
+            {"census": 1.0}, images, flows, warps, valid_masks, occ_masks,
+            fb_sq, fb_sum, warped,
+        )
+        return losses["census"]
+
+    data = warped_pair_batches(batch_size, crop=crop, max_flow=5.0, seed=11)
+    vals = [float(census_at(b["image1"], b["image2"], b["flow"]))
+            for b in (next(data) for _ in range(batches))]
+    out = {"kind": "gt_census_floor", "batches": batches,
+           "census": {"mean": round(float(np.mean(vals)), 4),
+                      "std": round(float(np.std(vals)), 4)}}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kinds", nargs="*", default=None)
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--gt-floor", action="store_true",
+                    help="also report census evaluated at the ground-truth flow")
     args = ap.parse_args()
     kinds = args.kinds or [
         "simple_flow_unsup", "lfn3_unsup", "ifnet_unsup", "raft_uflow_unsup"
     ]
+    if args.gt_floor:
+        gt_census_floor()
     for kind in kinds:
         run(kind, args.steps)
 
