@@ -33,6 +33,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret_default() -> bool:
@@ -127,16 +128,30 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
     out_ref[0] = flat.astype(out_ref.dtype)
 
 
-def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, *, radius: int):
+def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, g3_ref, *, radius: int):
     """Backward: d_corr[q, h, w] = sum_{a,b} Y[q,h,b] g[q,a,b] X[q,w,a].
 
-    coords_ref: VMEM [1, QT, 2]; g_ref: VMEM [1, QT, K, K] ([dx, dy] order —
-    the flat cotangent is unflattened in XLA before the kernel; the padded
-    [K, K] tile layout only costs the training path, the fwd output stays flat);
-    dcorr_ref: VMEM [1, QT, Hl, Wl].
+    coords_ref: VMEM [1, QT, 2]; g_ref: VMEM [1, QT, K*K] — the cotangent stays
+    FLAT on the lane dim, exactly as the forward emits it. Unflattening in XLA
+    (the round-2 design) forced a lane-split reshape of bf16[B, Q, 9, 9] whose
+    14x-padded relayout copies were the largest single class in the round-3
+    train-step trace (~6 copies x 0.9-1.7 ms each, BENCH.md); instead the
+    K-row unflatten happens here as one-hot placement transposes into a VMEM
+    scratch (g3_ref: [QT, K, K]) — the exact inverse of the forward's flatten,
+    fp32 at HIGHEST so no rounding. dcorr_ref: VMEM [1, QT, Hl, Wl].
     """
     Hl, Wl = dcorr_ref.shape[2], dcorr_ref.shape[3]
-    g = g_ref[0].astype(jnp.float32)  # [QT, K, K]
+    K = 2 * radius + 1
+    g_flat = g_ref[0].astype(jnp.float32)  # [QT, K*K]
+    for a in range(K):
+        # row a of the window: g3[:, a, :] = g_flat @ P_a^T (P_a one-hot)
+        g3_ref[:, a, :] = jax.lax.dot_general(
+            g_flat, _placement(a, K, jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    g = g3_ref[:, :, :]  # [QT, K, K]
     cx = coords_ref[0, :, 0]
     cy = coords_ref[0, :, 1]
     X = _tri_selector(cx, Wl, radius)  # [QT, K, Wl]
@@ -205,17 +220,17 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     # halve the query tile: the bwd stack (X + Y + t + g + dcorr block) is ~2x
     # the fwd's and hits the 16 MB scoped-vmem limit at qt=128/1024-wide
     qt = max(qt // 2, 32)
-    g = g.reshape(B, Q, K, K)
 
     dcorr = pl.pallas_call(
         functools.partial(_lookup_level_bwd_kernel, radius=radius),
         grid=(B, -(-Q // qt)),
         in_specs=[
             pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
-            pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0)),
+            pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
         ],
         out_specs=pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Q, Hl, Wl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qt, K, K), jnp.float32)],
         interpret=interpret,
     )(coords_l, g)
     return (

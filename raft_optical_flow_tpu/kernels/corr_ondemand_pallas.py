@@ -197,10 +197,33 @@ def _fwd_level_stream_kernel(coords_ref, f1_ref, f2c_ref, out_ref, rows_ref,
     ).astype(out_ref.dtype)
 
 
-def _drows_into_scratch(coords_ref, g_ref, drows_ref, *, radius, scale, Hl, Wp,
+def _unflatten_g(g_ref, g3_ref, radius: int):
+    """[1, QT, K*K] flat cotangent -> [QT, K, K] (a, b) VMEM scratch — the exact
+    inverse of _flatten_win, as one-hot placement transposes (g3[:, a, :] =
+    g_flat @ P_a^T). Doing this unflatten in XLA instead (the round-2 design)
+    materializes a [B, Q, K, K] array whose (8, 128)-tiled layout pads K=9 ->
+    128 lanes 14x — measured as the largest copy class in the round-3
+    train-step trace. fp32 at HIGHEST: a one-hot selection must not round."""
+    K = 2 * radius + 1
+    b_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 0)
+    m_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 1)
+    g_flat = g_ref[0].astype(jnp.float32)  # [QT, K*K]
+    for a in range(K):
+        p = (m_i == a * K + b_i).astype(jnp.float32)
+        g3_ref[:, a, :] = jax.lax.dot_general(
+            g_flat, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return g3_ref[:, :, :]
+
+
+def _drows_into_scratch(coords_ref, g, drows_ref, *, radius, scale, Hl, Wp,
                         precision, h_start=0):
-    """drows_ref[q, h*Wp+w] = sum_{a,b} X[q,w,a] Y[q,h,b] g[q,a,b] (flattened)."""
-    g = g_ref[0]  # [QT, K, K] (a, b)
+    """drows_ref[q, h*Wp+w] = sum_{a,b} X[q,w,a] Y[q,h,b] g[q,a,b] (flattened).
+
+    g: [QT, K, K] (a, b) value (unflattened from the lane-flat cotangent by
+    _unflatten_g in the caller)."""
     cx = coords_ref[0, :, 0] * scale
     cy = coords_ref[0, :, 1] * scale
     X = _tri_qk(cx, Wp, radius)                   # [QT, Wp, K]
@@ -219,10 +242,11 @@ def _drows_into_scratch(coords_ref, g_ref, drows_ref, *, radius, scale, Hl, Wp,
         drows_ref[:, h * Wp : (h + 1) * Wp] = d3[:, h, :]
 
 
-def _bwd_df1_kernel(coords_ref, g_ref, f2_ref, df1_ref, drows_ref,
+def _bwd_df1_kernel(coords_ref, g_ref, f2_ref, df1_ref, drows_ref, g3_ref,
                     *, radius, scale, Hl, Wp, precision):
-    """df1[q, c] = sum_{hw} d_rows[q, hw] * f2[hw, c]."""
-    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+    """df1[q, c] = sum_{hw} d_rows[q, hw] * f2[hw, c]. g_ref: [1, QT, K*K] flat."""
+    g = _unflatten_g(g_ref, g3_ref, radius)
+    _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=Hl, Wp=Wp,
                         precision=precision)
     df1_ref[0] = jax.lax.dot_general(
@@ -233,7 +257,7 @@ def _bwd_df1_kernel(coords_ref, g_ref, f2_ref, df1_ref, drows_ref,
     )
 
 
-def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref,
+def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref, g3_ref,
                     *, radius, scale, Hl, Wp, precision):
     """df2[hw, c] += sum_q d_rows[q, hw] * f1[q, c], accumulated across q tiles.
 
@@ -241,7 +265,8 @@ def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref,
     output block — one full-size `contrib` value would double the block's footprint
     and blow the 16 MB VMEM scope at level-0 Sintel sizes.
     """
-    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+    g = _unflatten_g(g_ref, g3_ref, radius)
+    _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=Hl, Wp=Wp,
                         precision=precision)
     f1 = f1_ref[0]
@@ -267,10 +292,11 @@ def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref,
 
 
 def _bwd_df1_stream_kernel(coords_ref, g_ref, f2c_ref, df1p_ref, drows_ref,
-                           *, radius, scale, CH, Wp, precision):
+                           g3_ref, *, radius, scale, CH, Wp, precision):
     """Streaming df1: grid (B, nH, nQ); partial df1 per h-chunk, summed in XLA."""
     h0 = pl.program_id(1) * CH
-    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+    g = _unflatten_g(g_ref, g3_ref, radius)
+    _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=CH, Wp=Wp,
                         precision=precision, h_start=h0)
     df1p_ref[0, 0] = jax.lax.dot_general(
@@ -282,11 +308,12 @@ def _bwd_df1_stream_kernel(coords_ref, g_ref, f2c_ref, df1p_ref, drows_ref,
 
 
 def _bwd_df2_stream_kernel(coords_ref, g_ref, f1_ref, df2c_ref, drows_ref,
-                           *, radius, scale, CH, Wp, precision):
+                           g3_ref, *, radius, scale, CH, Wp, precision):
     """Streaming df2: grid (B, nH, nQ), q innermost; the [1, CH*Wp, C] chunk
     output block is VMEM-resident across the q sweep and accumulated."""
     h0 = pl.program_id(1) * CH
-    _drows_into_scratch(coords_ref, g_ref, drows_ref,
+    g = _unflatten_g(g_ref, g3_ref, radius)
+    _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=CH, Wp=Wp,
                         precision=precision, h_start=h0)
     f1 = f1_ref[0]
@@ -441,7 +468,9 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
     df2s = []
     for lvl, f2 in enumerate(fmap2_pyramid):
         Hl, Wl, Wp, CH, nH = _level_geometry(f2)
-        g_l = gf[..., lvl * K * K : (lvl + 1) * K * K].reshape(B, Qp, K, K)
+        # stays lane-FLAT [B, Qp, K*K]: the kernels unflatten in VMEM
+        # (_unflatten_g) — an XLA reshape to [B, Qp, K, K] here tile-pads 14x
+        g_l = gf[..., lvl * K * K : (lvl + 1) * K * K]
 
         if nH == 1:
             f2flat = _flatten_f2(f2, Wp)
@@ -452,12 +481,13 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
                 grid=(B, Qp // qt_bwd),
                 in_specs=[
                     pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
-                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, K * K), lambda b, q: (b, q, 0)),
                     pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
                 out_shape=jax.ShapeDtypeStruct((B, Qp, C), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32),
+                pltpu.VMEM((qt_bwd, K, K), jnp.float32)],
                 interpret=interpret,
             )(cf, g_l, f2flat)
 
@@ -466,12 +496,13 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
                 grid=(B, Qp // qt_bwd),
                 in_specs=[
                     pl.BlockSpec((1, qt_bwd, 2), lambda b, q: (b, q, 0)),
-                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, K * K), lambda b, q: (b, q, 0)),
                     pl.BlockSpec((1, qt_bwd, C), lambda b, q: (b, q, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, Hl * Wp, C), lambda b, q: (b, 0, 0)),
                 out_shape=jax.ShapeDtypeStruct((B, Hl * Wp, C), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((qt_bwd, Hl * Wp), jnp.float32),
+                pltpu.VMEM((qt_bwd, K, K), jnp.float32)],
                 interpret=interpret,
             )(cf, g_l, f1)
             df2_full = df2p.reshape(B, Hl, Wp, C)
@@ -484,14 +515,15 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
                 grid=(B, nH, Qp // qt_bwd),
                 in_specs=[
                     pl.BlockSpec((1, qt_bwd, 2), lambda b, h, q: (b, q, 0)),
-                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, h, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, K * K), lambda b, h, q: (b, q, 0)),
                     pl.BlockSpec((1, CH * Wp, C), lambda b, h, q: (b, h, 0)),
                 ],
                 out_specs=pl.BlockSpec(
                     (1, 1, qt_bwd, C), lambda b, h, q: (b, h, q, 0)
                 ),
                 out_shape=jax.ShapeDtypeStruct((B, nH, Qp, C), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32),
+                pltpu.VMEM((qt_bwd, K, K), jnp.float32)],
                 interpret=interpret,
             )(cf, g_l, f2flat)
             df1_l = jnp.sum(df1_parts, axis=1)
@@ -501,14 +533,15 @@ def _ondemand_bwd(radius, qt, qt_bwd, precision, interpret, out_dtype,
                 grid=(B, nH, Qp // qt_bwd),
                 in_specs=[
                     pl.BlockSpec((1, qt_bwd, 2), lambda b, h, q: (b, q, 0)),
-                    pl.BlockSpec((1, qt_bwd, K, K), lambda b, h, q: (b, q, 0, 0)),
+                    pl.BlockSpec((1, qt_bwd, K * K), lambda b, h, q: (b, q, 0)),
                     pl.BlockSpec((1, qt_bwd, C), lambda b, h, q: (b, q, 0)),
                 ],
                 out_specs=pl.BlockSpec(
                     (1, CH * Wp, C), lambda b, h, q: (b, h, 0)
                 ),
                 out_shape=jax.ShapeDtypeStruct((B, nH * CH * Wp, C), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((qt_bwd, CH * Wp), jnp.float32),
+                pltpu.VMEM((qt_bwd, K, K), jnp.float32)],
                 interpret=interpret,
             )(cf, g_l, f1)
             df2_full = df2p.reshape(B, nH * CH, Wp, C)[:, :Hl]

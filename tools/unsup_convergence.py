@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96)):
+def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96),
+        traj_every: int = 0, lr: float = 2e-4, step_kwargs_extra=None):
     import jax
 
     from raft_optical_flow_tpu.data.synthetic import warped_pair_batches
@@ -38,9 +39,11 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96)):
         trainer_kind = "raft_uflow_unsup"
         step_kwargs = {"weights": {
             "census": 1.0, "smooth2": 2.0, "edge_constant": 150.0}}
+    if step_kwargs_extra:
+        step_kwargs = dict(step_kwargs or {}, **step_kwargs_extra)
     trainer = FlowTrainer(
         trainer_kind, image_size=crop,
-        optim=OptimConfig(lr=2e-4, step_size=max(steps, 1000)),
+        optim=OptimConfig(lr=lr, step_size=max(steps, 1000)),
         step_kwargs=step_kwargs,
     )
     data = warped_pair_batches(batch_size, crop=crop, max_flow=5.0, seed=11)
@@ -53,6 +56,12 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96)):
         if step == 0:
             print(f"{kind}: first step done ({time.time()-t0:.0f}s incl. compile)",
                   flush=True)
+        if traj_every and (step + 1) % traj_every == 0:
+            win = {k: round(float(np.mean([h[k] for h in hist[-traj_every:]])), 4)
+                   for k in ("census", "epe", "loss", "photo") if k in metrics}
+            print(f"{kind} step {step + 1}: {win} "
+                  f"({(step + 1) / max(time.time() - t0, 1e-9):.2f} steps/s)",
+                  flush=True)
     w = min(25, steps // 4)
     out = {"kind": kind, "steps": steps,
            "steps_per_sec": round((steps - 1) / max(time.time() - t0, 1e-9), 2)}
@@ -60,6 +69,12 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96)):
         first = float(np.mean([h[key] for h in hist[:w]]))
         last = float(np.mean([h[key] for h in hist[-w:]]))
         out[key] = {"first": round(first, 4), "last": round(last, 4)}
+    if traj_every:
+        out["traj"] = {
+            key: [round(float(np.mean([h[key] for h in hist[s:s + traj_every]])), 4)
+                  for s in range(0, steps, traj_every)]
+            for key in ("census", "epe", "loss") if key in hist[0]
+        }
     print(json.dumps(out), flush=True)
     return out
 
@@ -120,6 +135,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kinds", nargs="*", default=None)
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--traj-every", type=int, default=0,
+                    help="also emit windowed trajectory means every N steps")
+    ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--gt-floor", action="store_true",
                     help="also report census evaluated at the ground-truth flow")
     args = ap.parse_args()
@@ -129,7 +147,7 @@ def main():
     if args.gt_floor:
         gt_census_floor()
     for kind in kinds:
-        run(kind, args.steps)
+        run(kind, args.steps, traj_every=args.traj_every, lr=args.lr)
 
 
 if __name__ == "__main__":
