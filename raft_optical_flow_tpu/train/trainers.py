@@ -188,6 +188,7 @@ def uflow_unsup_train_step(
     occlusion_estimation: str = "wang",
     occlusion_warmup_steps: int = 100,
     selfsup_ramp_steps: int = 400,
+    sequence_gamma: float = 0.8,
 ):
     """UFlow-style unsupervised step on RAFT-small: census + edge-aware smooth2 +
     self-supervision (`uflow_loss_pytorch.py:643-795`, the loss library the
@@ -207,7 +208,20 @@ def uflow_unsup_train_step(
     yet only teaches the student its own noise. `weights={'selfsup': 0}` (or a
     weights dict without the key) statically skips the student passes entirely:
     the photometric-only ablation runs 2 model applies instead of 4.
-    """
+
+    sequence_gamma: when > 0, the photometric + smoothness loss is applied to
+    EVERY GRU iteration's flow with exponentially decaying weights
+    gamma^(n-1-i) (normalized), the unsupervised analogue of supervised RAFT's
+    sequence loss — the key SMURF recipe element (Stone et al. 2021, "SMURF:
+    Self-Teaching Multi-Frame Unsupervised RAFT") for training RAFT without
+    labels. With the loss only on the final flow (sequence_gamma=0, the
+    round-2 recipe) the trainer measurably collapses to the zero-flow
+    attractor: zero flow is fb-consistency-stable (nothing is marked occluded)
+    and smooth2-optimal, and on the warped-pair data census-at-zero (3.22)
+    equals the observed plateau while census-at-gt is 1.28. Supervising every
+    refinement iteration gives the update operator a direct error signal
+    before the recurrence can settle on the degenerate fixed point. Selfsup
+    still applies to the final iteration only (the teacher worth imitating)."""
     from raft_optical_flow_tpu.losses import uflow
     from raft_optical_flow_tpu.models.raft import RAFT, RAFTConfig
 
@@ -239,57 +253,90 @@ def uflow_unsup_train_step(
     def loss_fn(params):
         variables = {"params": params}
 
-        def run(a, b):
+        def run_all(a, b):
             preds = model.apply(variables, a, b, iters=iters, train=True)
             # RAFT emits (dx, dy); losses/uflow.py follows UFlow's (dy, dx)
             # convention throughout (see its module docstring) — flip here.
-            return preds[-1][..., ::-1]
+            return [p[..., ::-1] for p in preds]
 
-        flows = {}
-        # main passes; photometric terms use these ("augmented-student")
-        fw, bw = run(img1, img2), run(img2, img1)
-        flows[(0, 1, "augmented-student")] = pyramid(fw)
-        flows[(1, 0, "augmented-student")] = pyramid(bw)
-        # teacher = the same flows with gradients stopped (no photometric aug)
-        flows[(0, 1, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(0, 1, "augmented-student")]]
-        flows[(1, 0, "original-teacher")] = [jax.lax.stop_gradient(x) for x in flows[(1, 0, "augmented-student")]]
-        if use_selfsup:
-            # student on the cropped view
-            flows[(0, 1, "transformed-student")] = pyramid(run(img1_crop, img2_crop))
-            flows[(1, 0, "transformed-student")] = pyramid(run(img2_crop, img1_crop))
-
-        warps, valid_masks, _, occ_masks, fb_sq_diff, fb_sum_sq = (
-            uflow.compute_warps_and_occlusion(flows, occlusion_estimation)
-        )
+        fw_list, bw_list = run_all(img1, img2), run_all(img2, img1)
+        images = {0: img1 / 255.0, 1: img2 / 255.0}
         # Occlusion warm-up (UFlow's occlusion_active schedule): with random
         # early flows the range-map/fb estimators mark ~everything occluded,
         # which zeroes the photometric term and lets smoothness collapse the
         # model. Treat all pixels as visible until the flows bootstrap.
         occ_on = (state.step >= occlusion_warmup_steps).astype(jnp.float32)
-        occ_masks = jax.tree.map(
-            lambda m: occ_on * m + (1.0 - occ_on) * jnp.ones_like(m), occ_masks
+        # linear selfsup ramp once the occlusion masks are live: the teacher
+        # must bootstrap before it is worth imitating
+        ramp = jnp.clip(
+            (state.step - occlusion_warmup_steps).astype(jnp.float32)
+            / float(max(selfsup_ramp_steps, 1)),
+            0.0, 1.0,
         )
-        images = {0: img1 / 255.0, 1: img2 / 255.0}
-        aug_warps = {k: v for k, v in warps.items() if k[2] == "augmented-student"}
-        warped_images = uflow.apply_warps_stop_grad(images, aug_warps, level=0)
 
-        step_weights = dict(weights)
+        selfsup_flows = None
         if use_selfsup:
-            # linear selfsup ramp once the occlusion masks are live: the
-            # teacher must bootstrap before it is worth imitating
-            ramp = jnp.clip(
-                (state.step - occlusion_warmup_steps).astype(jnp.float32)
-                / float(max(selfsup_ramp_steps, 1)),
-                0.0, 1.0,
+            # student on the cropped view (final-iteration flow)
+            selfsup_flows = {
+                (0, 1, "transformed-student"): pyramid(
+                    run_all(img1_crop, img2_crop)[-1]),
+                (1, 0, "transformed-student"): pyramid(
+                    run_all(img2_crop, img1_crop)[-1]),
+            }
+
+        def iteration_losses(fw, bw, selfsup):
+            """Full UFlow loss on one (fw, bw) iteration pair; `selfsup`
+            (final iteration only) adds the student/teacher term."""
+            flows = {}
+            # photometric terms use these ("augmented-student")
+            flows[(0, 1, "augmented-student")] = pyramid(fw)
+            flows[(1, 0, "augmented-student")] = pyramid(bw)
+            # teacher = the same flows with gradients stopped
+            flows[(0, 1, "original-teacher")] = [
+                jax.lax.stop_gradient(x) for x in flows[(0, 1, "augmented-student")]]
+            flows[(1, 0, "original-teacher")] = [
+                jax.lax.stop_gradient(x) for x in flows[(1, 0, "augmented-student")]]
+            if selfsup is not None:
+                flows.update(selfsup)
+            warps, valid_masks, _, occ_masks, fb_sq_diff, fb_sum_sq = (
+                uflow.compute_warps_and_occlusion(flows, occlusion_estimation)
             )
-            step_weights["selfsup"] = weights["selfsup"] * ramp
+            occ_masks = jax.tree.map(
+                lambda m: occ_on * m + (1.0 - occ_on) * jnp.ones_like(m), occ_masks
+            )
+            aug_warps = {
+                k: v for k, v in warps.items() if k[2] == "augmented-student"}
+            warped_images = uflow.apply_warps_stop_grad(images, aug_warps, level=0)
+            step_weights = dict(weights)
+            if selfsup is not None:
+                step_weights["selfsup"] = weights["selfsup"] * ramp
+            else:
+                step_weights.pop("selfsup", None)
+            return uflow.compute_loss(
+                step_weights, images, flows, warps, valid_masks, occ_masks,
+                fb_sq_diff, fb_sum_sq, warped_images,
+                selfsup_transform_fns=transforms if selfsup is not None else None,
+            )
+
+        if sequence_gamma:
+            # SMURF sequence loss: supervise every GRU iteration, decayed
+            # toward the final one (see docstring — prevents the zero-flow
+            # collapse the final-only loss measurably falls into)
+            n = len(fw_list)
+            ws = [sequence_gamma ** (n - 1 - i) for i in range(n)]
+            total_w = sum(ws)
+            total = 0.0
+            for i, (fw_i, bw_i) in enumerate(zip(fw_list, bw_list)):
+                it = iteration_losses(
+                    fw_i, bw_i, selfsup_flows if i == n - 1 else None)
+                total = total + (ws[i] / total_w) * it["total"]
+                if i == n - 1:
+                    losses = dict(it)  # final-iteration terms for metrics
+            losses["total"] = total
         else:
-            step_weights.pop("selfsup", None)
-        losses = uflow.compute_loss(
-            step_weights, images, flows, warps, valid_masks, occ_masks,
-            fb_sq_diff, fb_sum_sq, warped_images,
-            selfsup_transform_fns=transforms,
-        )
+            losses = iteration_losses(fw_list[-1], bw_list[-1], selfsup_flows)
+
+        fw = fw_list[-1]
         metrics = {k: v for k, v in losses.items() if k != "total"}
         if "flow" in batch:  # EPE vs ground truth, monitoring only
             epe = jnp.sqrt(jnp.sum((fw[..., ::-1] - batch["flow"]) ** 2, -1))

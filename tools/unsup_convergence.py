@@ -24,7 +24,8 @@ import numpy as np
 
 
 def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96),
-        traj_every: int = 0, lr: float = 2e-4, step_kwargs_extra=None):
+        traj_every: int = 0, lr: float = 2e-4, step_kwargs_extra=None,
+        max_flow=5.0, trainer=None):
     import jax
 
     from raft_optical_flow_tpu.data.synthetic import warped_pair_batches
@@ -41,12 +42,13 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96),
             "census": 1.0, "smooth2": 2.0, "edge_constant": 150.0}}
     if step_kwargs_extra:
         step_kwargs = dict(step_kwargs or {}, **step_kwargs_extra)
-    trainer = FlowTrainer(
-        trainer_kind, image_size=crop,
-        optim=OptimConfig(lr=lr, step_size=max(steps, 1000)),
-        step_kwargs=step_kwargs,
-    )
-    data = warped_pair_batches(batch_size, crop=crop, max_flow=5.0, seed=11)
+    if trainer is None:
+        trainer = FlowTrainer(
+            trainer_kind, image_size=crop,
+            optim=OptimConfig(lr=lr, step_size=max(steps, 1000)),
+            step_kwargs=step_kwargs,
+        )
+    data = warped_pair_batches(batch_size, crop=crop, max_flow=max_flow, seed=11)
 
     hist = []
     t0 = time.time()
