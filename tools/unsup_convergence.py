@@ -81,7 +81,8 @@ def run(kind: str, steps: int, batch_size: int = 8, crop=(64, 96),
     return out
 
 
-def gt_census_floor(batches: int = 25, batch_size: int = 8, crop=(64, 96)):
+def gt_census_floor(batches: int = 25, batch_size: int = 8, crop=(64, 96),
+                    max_flow=5.0):
     """Census loss evaluated AT the ground-truth flow on the same data.
 
     Census compares (interpolation-blurred) warped images, so it has a data
@@ -123,7 +124,7 @@ def gt_census_floor(batches: int = 25, batch_size: int = 8, crop=(64, 96)):
         )
         return losses["census"]
 
-    data = warped_pair_batches(batch_size, crop=crop, max_flow=5.0, seed=11)
+    data = warped_pair_batches(batch_size, crop=crop, max_flow=max_flow, seed=11)
     vals = [float(census_at(b["image1"], b["image2"], b["flow"]))
             for b in (next(data) for _ in range(batches))]
     out = {"kind": "gt_census_floor", "batches": batches,
@@ -140,6 +141,10 @@ def main():
     ap.add_argument("--traj-every", type=int, default=0,
                     help="also emit windowed trajectory means every N steps")
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--crop", type=int, nargs=2, default=(64, 96),
+                    metavar=("H", "W"))
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-flow", type=float, default=5.0)
     ap.add_argument("--gt-floor", action="store_true",
                     help="also report census evaluated at the ground-truth flow")
     args = ap.parse_args()
@@ -147,9 +152,12 @@ def main():
         "simple_flow_unsup", "lfn3_unsup", "ifnet_unsup", "raft_uflow_unsup"
     ]
     if args.gt_floor:
-        gt_census_floor()
+        gt_census_floor(batch_size=args.batch_size, crop=tuple(args.crop),
+                        max_flow=args.max_flow)
     for kind in kinds:
-        run(kind, args.steps, traj_every=args.traj_every, lr=args.lr)
+        run(kind, args.steps, batch_size=args.batch_size,
+            crop=tuple(args.crop), traj_every=args.traj_every, lr=args.lr,
+            max_flow=args.max_flow)
 
 
 if __name__ == "__main__":
