@@ -26,6 +26,10 @@ import numpy as np
 def _synthetic_batches(batch_size, image_size, seed=0, num_shards=1, shard_id=0):
     """Random-tensor batches (DummyDataset role). batch_size is GLOBAL; under
     multi-host each process draws the same global batch and keeps its slice."""
+    if batch_size % num_shards != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by num_shards="
+            f"{num_shards} (mirrors FlowDataLoader)")
     rng = np.random.RandomState(seed)
     H, W = image_size
     lo = shard_id * (batch_size // num_shards)

@@ -141,14 +141,13 @@ def _rows_block(H: int) -> int:
 
 def _cols_block(W: int) -> int:
     # small enough that the fp32 gate intermediates of a full-height block fit
-    # the 16 MB scoped-vmem budget at Sintel size; for widths with no friendly
-    # power-of-two divisor (e.g. W=84), fall back to the largest divisor <= 32
-    # rather than the full width (which would blow the VMEM budget on large
-    # odd-width frames)
-    for c in (32, 16, 8):
-        if W % c == 0:
-            return c
-    return max(c for c in range(1, min(W, 32) + 1) if W % c == 0)
+    # the 16 MB scoped-vmem budget at Sintel size. The grid is ceil-div with a
+    # masked partial final block (columns are independent in the vertical
+    # pass — the 5x1 window never crosses columns — so the padding lanes of a
+    # partial block compute garbage that Pallas drops on write), which avoids
+    # the old exact-divisor fallback: for prime widths that degenerated to a
+    # 1-wide block padded ~32x in VMEM.
+    return min(W, 32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -175,9 +174,10 @@ def _sepconv_gru_fwd_impl(h, x, params, interpret):
             R = _rows_block(H)
             grid = (B, H // R)
             blk = lambda c: pl.BlockSpec((1, R, W, c), lambda b, i: (b, i, 0, 0))
-        else:  # vertical: full columns per block
+        else:  # vertical: full columns per block (ceil-div; partial final
+            # block OK — columns are independent under the 5x1 window)
             C = _cols_block(W)
-            grid = (B, W // C)
+            grid = (B, pl.cdiv(W, C))
             blk = lambda c: pl.BlockSpec((1, H, C, c), lambda b, i: (b, 0, i, 0))
         w_specs = [pl.BlockSpec(w.shape, lambda b, i, n=w.ndim: (0,) * n)
                    for w in weights]

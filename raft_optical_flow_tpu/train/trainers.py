@@ -329,9 +329,16 @@ def uflow_unsup_train_step(
             for i, (fw_i, bw_i) in enumerate(zip(fw_list, bw_list)):
                 it = iteration_losses(
                     fw_i, bw_i, selfsup_flows if i == n - 1 else None)
-                total = total + (ws[i] / total_w) * it["total"]
+                # the selfsup term (final iteration only) is added OUTSIDE the
+                # normalized sequence sum so weights['selfsup']*ramp is its
+                # actual effective weight — folding it into the gamma-weighted
+                # total would dilute it by ws[n-1]/total_w (~0.34 at
+                # gamma=0.8, iters=4) relative to the sequence_gamma=0 path
+                it_total = it["total"] - it.get("selfsup", 0.0)
+                total = total + (ws[i] / total_w) * it_total
                 if i == n - 1:
                     losses = dict(it)  # final-iteration terms for metrics
+                    total = total + it.get("selfsup", 0.0)
             losses["total"] = total
         else:
             losses = iteration_losses(fw_list[-1], bw_list[-1], selfsup_flows)

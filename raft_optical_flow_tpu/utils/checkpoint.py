@@ -124,6 +124,19 @@ class CheckpointManager:
         self.directory = directory
         self.keep_every = keep_every
         self.best_metric = self._load_best_metric()
+        # best.json is written by the lead host only; on a multi-host restart
+        # without a shared filesystem the other processes would load inf and
+        # enter the collective `save_train_state("best", ...)` asymmetrically,
+        # deadlocking the pod. Broadcast the lead's value so the
+        # metric < best_metric branch is taken identically everywhere.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            self.best_metric = float(
+                multihost_utils.broadcast_one_to_all(
+                    np.float32(self.best_metric)
+                )
+            )
 
     def _best_path(self) -> str:
         return os.path.join(self.directory, "best.json")

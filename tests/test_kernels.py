@@ -177,16 +177,21 @@ def test_ondemand_custom_vjp_matches_xla_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
-def test_fused_sepconv_gru_matches_reference():
+@pytest.mark.parametrize("W", [16, 37])
+def test_fused_sepconv_gru_matches_reference(W):
     """kernels/gru_fused.py: fused Pallas SepConvGRU (interpret) == XLA reference
-    (`core/update.py:74-121` semantics), forward and custom-VJP gradients."""
+    (`core/update.py:74-121` semantics), forward and custom-VJP gradients.
+
+    W=37 (prime) exercises the vertical pass's ceil-div grid with a masked
+    partial final block — the round-3 ADVICE fix replacing the
+    largest-divisor fallback that degenerated to 1-wide blocks."""
     from raft_optical_flow_tpu.kernels.gru_fused import (
         sepconv_gru_pallas,
         sepconv_gru_reference,
     )
 
     rng = np.random.RandomState(3)
-    B, H, W, D, X = 1, 8, 16, 16, 24
+    B, H, D, X = 1, 8, 16, 24
     h = jnp.asarray(rng.randn(B, H, W, D), jnp.float32)
     x = jnp.asarray(rng.randn(B, H, W, X), jnp.float32)
     params = {}
