@@ -58,8 +58,14 @@ def cost_of(fwd, variables, shape):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def time_map_fwd(fwd, variables, shape, reps):
-    """(t_pair_ms, wall_ms_at_N2) for a single-pair fwd(variables, a, b)."""
+def time_map_fwd(fwd, variables, shape, reps, batched=False):
+    """(t_pair_ms, wall_ms_at_N2) for a single-pair fwd(variables, a, b).
+
+    batched=False: lax.map of the batch-1 program — per-pair device time of
+    the latency-oriented configuration (rounds 1-3 continuity).
+    batched=True: ONE fwd on the [n, ...] batch — the serving configuration
+    (bench.py headline methodology); still RTT-free via two-point scaling.
+    """
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     results = {}
@@ -69,7 +75,10 @@ def time_map_fwd(fwd, variables, shape, reps):
 
         @jax.jit
         def run(variables, a, b):
-            out = jax.lax.map(lambda p: fwd(variables, p[0], p[1]), (a, b))
+            if batched:
+                out = fwd(variables, a[:, 0], b[:, 0])
+            else:
+                out = jax.lax.map(lambda p: fwd(variables, p[0], p[1]), (a, b))
             return jnp.sum(out)
 
         float(run(variables, a, b))  # compile + warm
@@ -101,13 +110,16 @@ def main():
     rows = {}
     print("backend:", jax.default_backend(), flush=True)
 
-    def record(name, t_pair, wall_n2, note="", cost=None):
+    def record(name, t_pair, wall_n2, note="", cost=None, t_batched=None):
         rows[name] = {
             "device_ms_per_pair": round(t_pair, 2),
             "device_pairs_per_sec": round(1e3 / t_pair, 1),
             "wall_ms_per_pair_steady": round(wall_n2 / N2, 2),
             "note": note,
         }
+        if t_batched is not None:
+            rows[name]["batched_ms_per_pair"] = round(t_batched, 2)
+            rows[name]["batched_pairs_per_sec"] = round(1e3 / t_batched, 1)
         extra = ""
         if cost is not None:
             flops, hbm = cost
@@ -120,6 +132,9 @@ def main():
                 "hbm_frac": round(hbm_frac, 3),
                 "bound": "HBM" if hbm_frac > mfu else "MXU",
             })
+            if t_batched is not None:
+                rows[name]["batched_mfu"] = round(
+                    flops / (t_batched * 1e-3 * PEAK_FLOPS), 4)
             extra = (f"  MFU {mfu * 100:5.1f}%  HBM {hbm_frac * 100:5.1f}%"
                      f" -> {rows[name]['bound']}-bound")
         print(f"{name:24s} {t_pair:8.2f} ms/pair device "
@@ -136,8 +151,9 @@ def main():
                                iters=1, test_mode=True)
         fwd32 = lambda v, a, b: model.apply(v, a, b, iters=32, test_mode=True)[1]
         t, w = time_map_fwd(fwd32, variables, (Hp, Wp, 3), args.reps)
+        tb, _ = time_map_fwd(fwd32, variables, (Hp, Wp, 3), args.reps, batched=True)
         record(f"raft-standard {Hp}x{Wp} i32", t, w, "bf16 policy",
-               cost=cost_of(fwd32, variables, (Hp, Wp, 3)))
+               cost=cost_of(fwd32, variables, (Hp, Wp, 3)), t_batched=tb)
 
     if not only or "kitti" in only:
         # true KITTI eval shape through the REAL bucketed-eval path: one
@@ -174,8 +190,9 @@ def main():
             fwd = lambda v, a, b: model.apply(
                 v, jnp.stack([a, b], 1) / 255.0)["flows"]
             t, w = time_map_fwd(fwd, variables, (H, W, 3), args.reps)
+            tb, _ = time_map_fwd(fwd, variables, (H, W, 3), args.reps, batched=True)
             record(f"{tag} {H}x{W}", t, w,
-                   cost=cost_of(fwd, variables, (H, W, 3)))
+                   cost=cost_of(fwd, variables, (H, W, 3)), t_batched=tb)
 
     if not only or "simple" in only or "simple256" in only:
         model = SimpleFlowNet(SimpleFlowConfig())
@@ -183,13 +200,17 @@ def main():
         sfwd = lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1]
         if not only or "simple" in only:
             t, w = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps)
+            tb, _ = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps,
+                                 batched=True)
             record("simple_flow 432x1024", t, w,
-                   cost=cost_of(sfwd, variables, (432, 1024, 3)))
+                   cost=cost_of(sfwd, variables, (432, 1024, 3)), t_batched=tb)
         if not only or "simple256" in only:
             t, w = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps)
+            tb, _ = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps,
+                                 batched=True)
             record("simple_flow 256x256", t, w,
                    "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)",
-                   cost=cost_of(sfwd, variables, (256, 256, 3)))
+                   cost=cost_of(sfwd, variables, (256, 256, 3)), t_batched=tb)
 
     if not only or "ifnet" in only:
         model = IFNet()
@@ -197,17 +218,21 @@ def main():
         ifwd = lambda v, a, b: model.apply(
             v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1]
         t, w = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps)
+        tb, _ = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps,
+                             batched=True)
         record("ifnet 432x1024", t, w,
-               cost=cost_of(ifwd, variables, (432, 1024, 3)))
+               cost=cost_of(ifwd, variables, (432, 1024, 3)), t_batched=tb)
 
     print()
-    print("| model | device ms/pair | device pairs/s | GFLOPs | MFU | HBM frac | bound |")
-    print("|---|---|---|---|---|---|---|")
+    print("| model | device ms/pair | device pairs/s | batched pairs/s | "
+          "GFLOPs | MFU | batched MFU | HBM frac | bound |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for name, r in rows.items():
         print(f"| {name} | {r['device_ms_per_pair']} | "
-              f"{r['device_pairs_per_sec']} | {r.get('gflops', '-')} | "
-              f"{r.get('mfu', '-')} | {r.get('hbm_frac', '-')} | "
-              f"{r.get('bound', '-')} |")
+              f"{r['device_pairs_per_sec']} | "
+              f"{r.get('batched_pairs_per_sec', '-')} | {r.get('gflops', '-')} | "
+              f"{r.get('mfu', '-')} | {r.get('batched_mfu', '-')} | "
+              f"{r.get('hbm_frac', '-')} | {r.get('bound', '-')} |")
     print(json.dumps(rows))
 
 
