@@ -152,7 +152,15 @@ def main():
     ap.add_argument("--max-flow", type=float, default=5.0)
     ap.add_argument("--gt-floor", action="store_true",
                     help="also report census evaluated at the ground-truth flow")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to the CPU backend (the image's sitecustomize "
+                         "force-registers the TPU; env vars alone don't stick)")
     args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     kinds = args.kinds or [
         "simple_flow_unsup", "lfn3_unsup", "ifnet_unsup", "raft_uflow_unsup"
     ]
