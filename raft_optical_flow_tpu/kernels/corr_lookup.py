@@ -157,17 +157,30 @@ def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, g3_ref, *, radius: in
     X = _tri_selector(cx, Wl, radius)  # [QT, K, Wl]
     Y = _tri_selector(cy, Hl, radius)  # [QT, K, Hl]
 
+    # Same dtype-dependent rule as the forward's placement: with an fp32
+    # gradient (fp32 volume — training fidelity / the grad-parity gate) the
+    # MXU's DEFAULT pass truncates both operands to bf16 (~7e-3 rel error on
+    # real hardware, invisible in the fp32-exact interpreter — round-4 TPU
+    # grad-parity catch), so run the selector contractions at HIGHEST; with a
+    # bf16 volume the truncation is the output rounding anyway.
+    pp = (
+        jax.lax.Precision.DEFAULT
+        if dcorr_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     # t[q, a, h] = sum_b g[q, a, b] * Y[q, b, h]
     t = jax.lax.dot_general(
         g, Y,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=pp,
     )
     # d[q, h, w] = sum_a t[q, a, h] * X[q, a, w]
     dcorr_ref[0] = jax.lax.dot_general(
         t, X,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=pp,
     )
 
 
