@@ -143,13 +143,22 @@ def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, g3_ref, *, radius: in
     Hl, Wl = dcorr_ref.shape[2], dcorr_ref.shape[3]
     K = 2 * radius + 1
     g_flat = g_ref[0].astype(jnp.float32)  # [QT, K*K]
+    # One-hot placement precision: a bf16 cotangent's values are exactly
+    # bf16-representable, so DEFAULT's operand truncation is lossless and
+    # skips HIGHEST's 6-pass cost on these K tiny dots; an fp32 cotangent
+    # needs HIGHEST (DEFAULT would round the values).
+    ppg = (
+        jax.lax.Precision.DEFAULT
+        if g_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     for a in range(K):
         # row a of the window: g3[:, a, :] = g_flat @ P_a^T (P_a one-hot)
         g3_ref[:, a, :] = jax.lax.dot_general(
             g_flat, _placement(a, K, jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=ppg,
         )
     g = g3_ref[:, :, :]  # [QT, K, K]
     cx = coords_ref[0, :, 0]
@@ -181,7 +190,7 @@ def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, g3_ref, *, radius: in
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=pp,
-    )
+    ).astype(dcorr_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -234,6 +243,13 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     # the fwd's and hits the 16 MB scoped-vmem limit at qt=128/1024-wide
     qt = max(qt // 2, 32)
 
+    # The cotangent is emitted IN the primal volume dtype: with a bf16 volume
+    # (mixed-precision training) an fp32 out_shape here would (a) double the
+    # dcorr write/downstream-accumulate HBM traffic and (b) make the kernel's
+    # dtype-dependent precision rule always see fp32 and run the two big
+    # selector contractions at HIGHEST (6 MXU passes) — measured ~8% on the
+    # whole bs4 368x496 train step (BENCH.md round-4 note). fp32 volumes keep
+    # fp32 + HIGHEST, which is what the on-TPU grad-parity gate checks.
     dcorr = pl.pallas_call(
         functools.partial(_lookup_level_bwd_kernel, radius=radius),
         grid=(B, -(-Q // qt)),
@@ -242,12 +258,12 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
             pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
         ],
         out_specs=pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Q, Hl, Wl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Q, Hl, Wl), dtype_token.dtype),
         scratch_shapes=[pltpu.VMEM((qt, K, K), jnp.float32)],
         interpret=interpret,
     )(coords_l, g)
     return (
-        dcorr.astype(dtype_token.dtype),
+        dcorr,
         jnp.zeros_like(coords_l),
     )
 

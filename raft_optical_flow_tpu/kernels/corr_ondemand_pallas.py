@@ -197,13 +197,19 @@ def _fwd_level_stream_kernel(coords_ref, f1_ref, f2c_ref, out_ref, rows_ref,
     ).astype(out_ref.dtype)
 
 
-def _unflatten_g(g_ref, g3_ref, radius: int):
+def _unflatten_g(g_ref, g3_ref, radius: int,
+                 precision=jax.lax.Precision.HIGHEST):
     """[1, QT, K*K] flat cotangent -> [QT, K, K] (a, b) VMEM scratch — the exact
     inverse of _flatten_win, as one-hot placement transposes (g3[:, a, :] =
     g_flat @ P_a^T). Doing this unflatten in XLA instead (the round-2 design)
     materializes a [B, Q, K, K] array whose (8, 128)-tiled layout pads K=9 ->
     128 lanes 14x — measured as the largest copy class in the round-3
-    train-step trace. fp32 at HIGHEST: a one-hot selection must not round."""
+    train-step trace. Placement precision follows the path's policy: HIGHEST
+    in fp32-faithful mode (a one-hot selection must not round); under the
+    bf16 policy (precision=DEFAULT) the selector dots consuming g3 truncate
+    their operands to bf16 anyway, so a DEFAULT placement is
+    rounding-equivalent and skips HIGHEST's 6-pass cost on these K tiny
+    dots."""
     K = 2 * radius + 1
     b_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 0)
     m_i = jax.lax.broadcasted_iota(jnp.int32, (K, K * K), 1)
@@ -213,7 +219,7 @@ def _unflatten_g(g_ref, g3_ref, radius: int):
         g3_ref[:, a, :] = jax.lax.dot_general(
             g_flat, p, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
     return g3_ref[:, :, :]
 
@@ -245,7 +251,7 @@ def _drows_into_scratch(coords_ref, g, drows_ref, *, radius, scale, Hl, Wp,
 def _bwd_df1_kernel(coords_ref, g_ref, f2_ref, df1_ref, drows_ref, g3_ref,
                     *, radius, scale, Hl, Wp, precision):
     """df1[q, c] = sum_{hw} d_rows[q, hw] * f2[hw, c]. g_ref: [1, QT, K*K] flat."""
-    g = _unflatten_g(g_ref, g3_ref, radius)
+    g = _unflatten_g(g_ref, g3_ref, radius, precision)
     _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=Hl, Wp=Wp,
                         precision=precision)
@@ -265,7 +271,7 @@ def _bwd_df2_kernel(coords_ref, g_ref, f1_ref, df2_ref, drows_ref, g3_ref,
     output block — one full-size `contrib` value would double the block's footprint
     and blow the 16 MB VMEM scope at level-0 Sintel sizes.
     """
-    g = _unflatten_g(g_ref, g3_ref, radius)
+    g = _unflatten_g(g_ref, g3_ref, radius, precision)
     _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=Hl, Wp=Wp,
                         precision=precision)
@@ -295,7 +301,7 @@ def _bwd_df1_stream_kernel(coords_ref, g_ref, f2c_ref, df1p_ref, drows_ref,
                            g3_ref, *, radius, scale, CH, Wp, precision):
     """Streaming df1: grid (B, nH, nQ); partial df1 per h-chunk, summed in XLA."""
     h0 = pl.program_id(1) * CH
-    g = _unflatten_g(g_ref, g3_ref, radius)
+    g = _unflatten_g(g_ref, g3_ref, radius, precision)
     _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=CH, Wp=Wp,
                         precision=precision, h_start=h0)
@@ -312,7 +318,7 @@ def _bwd_df2_stream_kernel(coords_ref, g_ref, f1_ref, df2c_ref, drows_ref,
     """Streaming df2: grid (B, nH, nQ), q innermost; the [1, CH*Wp, C] chunk
     output block is VMEM-resident across the q sweep and accumulated."""
     h0 = pl.program_id(1) * CH
-    g = _unflatten_g(g_ref, g3_ref, radius)
+    g = _unflatten_g(g_ref, g3_ref, radius, precision)
     _drows_into_scratch(coords_ref, g, drows_ref,
                         radius=radius, scale=scale, Hl=CH, Wp=Wp,
                         precision=precision, h_start=h0)

@@ -170,7 +170,17 @@ class RAFTIteration(nn.Module):
         if up_mask is None:
             flow_up = upflow8(flow_lo)
         else:
-            flow_up = convex_upsample(flow_lo, up_mask.astype(jnp.float32))
+            # checkpoint: the upsample's softmax/combine intermediates are
+            # ~262 MB fp32 per iteration at bs4 368x496 — stored for backward
+            # across all 12 scanned iterations they dominated the round-4
+            # train-step DMA time (the step is DMA-bound: 105 ms DMA busy vs
+            # 96 ms compute). Recomputing them in the backward pass from the
+            # tiny inputs (flow_lo [N,h,w,2] + mask [N,h,w,576]) trades ~free
+            # VPU work for ~6 GB of HBM round-trips per step. Training only —
+            # test mode upsamples once after the scan.
+            flow_up = jax.checkpoint(convex_upsample)(
+                flow_lo, up_mask.astype(jnp.float32)
+            )
         return (net, coords1), flow_up
 
 

@@ -49,7 +49,23 @@ def spatial_correlation_sample(
                 in2p, (0, pi * d, pj * d, 0), (B, H, W, C)
             )
             outs.append(jnp.sum(in1 * shifted, axis=-1))
-    return jnp.stack(outs, axis=-1)
+    # Getting the p^2 window maps onto the lane (last) dim is a layout trap:
+    # stack(axis=-1) — and even stack(axis=1) + transpose — lets XLA propagate
+    # the lane-minor output layout back into the concat operands, materializing
+    # p^2 temps with a singleton lane dim padded 128x (224 MB each at LFN3
+    # batch-16 serving scale -> RESOURCE_EXHAUSTED at compile). Break the
+    # propagation with a placement matmul: stack on the LEADING dim (temps
+    # [1, B, HW] tile cleanly on (B, HW)) and move the window dim to lanes via
+    # an identity contraction — dot operands get standard matmul layouts, so
+    # nothing upstream inherits the padded layout. HIGHEST precision when the
+    # values are fp32 (default MXU precision truncates operands to bf16).
+    stacked = jnp.stack([o.reshape(B, H * W) for o in outs], axis=0)  # [p^2,B,HW]
+    eye = jnp.eye(p * p, dtype=stacked.dtype)
+    prec = jax.lax.Precision.HIGHEST if stacked.dtype == jnp.float32 else None
+    out = jax.lax.dot_general(  # [B, HW, p^2]
+        stacked, eye, (((0,), (0,)), ((), ())), precision=prec
+    )
+    return out.reshape(B, H, W, p * p)
 
 
 def translated_spatial_correlation_sample(

@@ -45,12 +45,16 @@ def convex_upsample(flow: jax.Array, mask: jax.Array, factor: int = 8) -> jax.Ar
     """
     N, h, w, _ = flow.shape
     f = factor
-    mask = mask.reshape(N, h, w, 9, f, f)
-    mask = jax.nn.softmax(mask, axis=3)
+    # Keep the f*f subpixel axis FLAT (lane-sized 64) instead of the naive
+    # [..., 9, f, f] 6-D form: trailing (8, 8) dims give XLA small-lane
+    # layouts whose relayout copies showed up at 0.5-1.1 ms each in the
+    # round-4 train-step trace (f32[4,46,62,9,8,8] class).
+    m = mask.reshape(N, h, w, 9, f * f)
+    m = jax.nn.softmax(m, axis=3)
 
     nbrs = _shifted_neighbors_3x3(float(f) * flow)  # [N, h, w, 9, 2]
-    # [N,h,w,9,f,f,1] * [N,h,w,9,1,1,2] -> sum over 9 -> [N, h, w, sy, sx, 2]
-    up = jnp.sum(mask[..., None] * nbrs[:, :, :, :, None, None, :], axis=3)
+    # contract the 9 neighbors: [N,h,w,f*f,9] x [N,h,w,9,2] -> [N,h,w,f*f,2]
+    up = jnp.einsum("nhwks,nhwkc->nhwsc", m, nbrs)
     # interleave subpixels: [N, h, sy, w, sx, 2] -> [N, f*h, f*w, 2]
-    up = up.transpose(0, 1, 3, 2, 4, 5)
+    up = up.reshape(N, h, w, f, f, 2).transpose(0, 1, 3, 2, 4, 5)
     return up.reshape(N, f * h, f * w, 2)
