@@ -29,6 +29,24 @@ import jax.numpy as jnp
 A100_BASELINE_PAIRS_PER_SEC = 13.0  # derivation: BASELINE.md "A100 baseline derivation"
 
 
+def git_stamp():
+    """Exact tree the numbers were measured on (commit + dirty flag), so the
+    JSON artifact substantiates WHICH code ran (round-4 advisor finding: a
+    capture recorded before the snapshot commit can't be tied to the shipped
+    tree by git history alone)."""
+    import subprocess
+
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+                             capture_output=True, text=True).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"], cwd=repo,
+                               capture_output=True, text=True).stdout.strip()
+        return (rev + ("-dirty" if dirty else "")) or None
+    except Exception:
+        return None
+
+
 def fidelity_check():
     """EPE delta vs the torch golden for EVERY kernel path, on this backend.
 
@@ -240,6 +258,7 @@ def main():
         grads = {"error": {"max_rel": float("inf"), "ok": False,
                            "exc": type(e).__name__}}
     record = {
+        "git_rev": git_stamp(),
         "metric": "sintel_1024x436_pairs_per_sec_per_chip_32iters",
         "value": round(pairs_per_sec, 4),
         "unit": "pairs/s",

@@ -54,7 +54,13 @@ def convex_upsample(flow: jax.Array, mask: jax.Array, factor: int = 8) -> jax.Ar
 
     nbrs = _shifted_neighbors_3x3(float(f) * flow)  # [N, h, w, 9, 2]
     # contract the 9 neighbors: [N,h,w,f*f,9] x [N,h,w,9,2] -> [N,h,w,f*f,2]
-    up = jnp.einsum("nhwks,nhwkc->nhwsc", m, nbrs)
+    # HIGHEST when the operands are fp32 (same rule as ops/spatial_corr.py):
+    # if XLA lowers this to an MXU dot_general, DEFAULT precision would
+    # truncate the softmax weights and flow values to bf16 — invisible on
+    # CPU, a real fidelity loss on hardware (the 232bd12 failure class).
+    # This produces the final output flow, so it must not round.
+    prec = jax.lax.Precision.HIGHEST if m.dtype == jnp.float32 else None
+    up = jnp.einsum("nhwks,nhwkc->nhwsc", m, nbrs, precision=prec)
     # interleave subpixels: [N, h, sy, w, sx, 2] -> [N, f*h, f*w, 2]
     up = up.reshape(N, h, w, f, f, 2).transpose(0, 1, 3, 2, 4, 5)
     return up.reshape(N, f * h, f * w, 2)

@@ -9,6 +9,9 @@ cd "$(dirname "$0")/.."
 
 stage() { echo; echo "=== [$(date -u +%H:%M:%S)] $1 ==="; }
 
+# provenance: which tree is being validated (advisor round-4 finding)
+echo "git_rev=$(git rev-parse --short HEAD)$(test -n "$(git status --porcelain)" && echo -dirty)"
+
 stage "grad parity (tools/verify_grad_tpu.py)"
 timeout 1800 python tools/verify_grad_tpu.py
 echo "grad_parity rc=$?"

@@ -32,17 +32,23 @@ def _prefetch(gen, depth: int = 2):
     _END = object()
 
     def worker():
+        # propagate generator failures to the consumer instead of silently
+        # ending the stream (a swallowed exception here used to surface as a
+        # bare StopIteration with the real traceback lost in the daemon thread)
         try:
             for item in gen:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -26,6 +26,9 @@ from raft_optical_flow_tpu.utils.grad_parity import run_all
 def main():
     interpret = "--interpret" in sys.argv  # CPU smoke mode
     assert interpret or jax.default_backend() != "cpu", "run on the TPU backend"
+    from bench import git_stamp  # repo root is on sys.path (insert above)
+
+    print(json.dumps({"git_rev": git_stamp()}), flush=True)
     results = run_all(interpret=interpret)
     ok = True
     for name, res in results.items():
