@@ -16,12 +16,13 @@ PReLU slopes land on a `scale` param (the converter maps 1-D `weight` there).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from raft_optical_flow_tpu.models import layers
 from raft_optical_flow_tpu.models.layers import TorchConvTranspose, conv
 from raft_optical_flow_tpu.ops.grid import resize_bilinear
 from raft_optical_flow_tpu.ops.warp import backward_warp
@@ -74,8 +75,25 @@ class IFNet(nn.Module):
       mask sigmoid [N,H,W,1], warped (w0, w1) image pairs.
     """
 
+    # bf16 mixed-precision policy (see LFN3Config.compute_dtype): the IFBlock
+    # conv trunks compute bf16; flow/mask accumulate fp32 across blocks and the
+    # full-res warps run on fp32 images with fp32 coordinates (the warp gathers
+    # are issue-rate-bound, not byte-bound — BENCH.md packed-tap note — so bf16
+    # there would cost fidelity for no speed).
+    compute_dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(
+        self,
+        img0: jax.Array,
+        img1: jax.Array,
+        scale: Sequence[int] = (4, 2, 1),
+        timestep: float = 0.5,
+    ):
+        with layers.compute_dtype_scope(self.compute_dtype):
+            return self._forward(img0, img1, scale, timestep)
+
+    def _forward(
         self,
         img0: jax.Array,
         img1: jax.Array,
@@ -103,12 +121,17 @@ class IFNet(nn.Module):
                     flow,
                     scale=scale[i],
                 )
-                flow = flow + flow_d
-                mask = mask + mask_d
+                # residual accumulation in fp32: each block's deconv head
+                # rounds its own delta once (bf16 policy); the accumulated
+                # flow — used as warp coordinates — must not re-round
+                flow = flow + flow_d.astype(jnp.float32)
+                mask = mask + mask_d.astype(jnp.float32)
             else:
                 flow, mask = block(
                     jnp.concatenate([img0, img1, ts], axis=-1), None, scale=scale[i]
                 )
+                flow = flow.astype(jnp.float32)
+                mask = mask.astype(jnp.float32)
             mask_list.append(nn.sigmoid(mask))
             flow_list.append(flow)
             warped_img0 = backward_warp(img0, flow[..., :2], padding="border")

@@ -25,12 +25,13 @@ pyramids when training=True.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from raft_optical_flow_tpu.models import layers
 from raft_optical_flow_tpu.models.layers import conv, deconv, leaky_relu
 from raft_optical_flow_tpu.ops.grid import resize_bilinear
 from raft_optical_flow_tpu.ops.padding import InputScaler
@@ -45,6 +46,14 @@ class LFN3Config:
     use_s_version: bool = False
     num_levels: int = 4
     output_stride: int = 32
+    # bf16 for mixed-precision serving (the reference's autocast analog,
+    # `train_mixed.sh` / `core/raft.py:12-22`): conv/feature compute runs bf16,
+    # params stay fp32, and everything position-like stays fp32 — flow/conf
+    # carried between modules, warp coordinates (ops/warp.py builds fp32 coords
+    # regardless), correlation accumulation (ops/spatial_corr.py accumulates
+    # fp32). The only bf16 roundings on the flow path are the conv heads' own
+    # outputs.
+    compute_dtype: Any = jnp.float32
 
     @property
     def min_mod_level(self) -> int:
@@ -307,6 +316,10 @@ class LiteFlowNet3(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, training: bool = False):
+        with layers.compute_dtype_scope(self.config.compute_dtype):
+            return self._forward(images, training)
+
+    def _forward(self, images: jax.Array, training: bool = False):
         cfg = self.config
         B = images.shape[0]
 
@@ -340,6 +353,10 @@ class LiteFlowNet3(nn.Module):
         flow = conf = corr = None
         sub_feat = reg_feat = None
 
+        # flow/conf are position-like: carried fp32 between modules under the
+        # bf16 policy (each module's conv head rounds its own residual once;
+        # the accumulated field must not re-round)
+        f32 = lambda t: None if t is None else t.astype(jnp.float32)
         for i in range(cfg.num_levels):
             f1, f2 = feats_pyr[i]
             if i >= cfg.min_mod_level:
@@ -347,15 +364,17 @@ class LiteFlowNet3(nn.Module):
                 flow, conf = FlowFieldDeformation(
                     i, name=f"deformation_nets_{j}"
                 )(f1, f2, flow, conf)
+                flow, conf = f32(flow), f32(conf)
                 conf_preds.append(conf)
                 corr = CostVolumeModulation(i, cfg, name=f"modulation_nets_{j}")(
                     f1, f2, flow, conf
                 )
-            flow = Matching(i, cfg, name=f"matching_nets_{i}")(f1, f2, flow, corr)
+            flow = f32(Matching(i, cfg, name=f"matching_nets_{i}")(f1, f2, flow, corr))
             flow, sub_feat = SubPixel(i, cfg, name=f"subpixel_nets_{i}")(f1, f2, flow)
             flow, conf, reg_feat = Regularization(
                 i, cfg, name=f"regularization_nets_{i}"
             )(images_pyr[i][0], images_pyr[i][1], f1, flow)
+            flow, conf = f32(flow), f32(conf)
             flow_preds.append(flow)
             if conf is not None:
                 conf_preds.append(conf)

@@ -18,12 +18,13 @@ Module names mirror the torch state_dict for the checkpoint converter.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from raft_optical_flow_tpu.models import layers
 from raft_optical_flow_tpu.models.layers import conv
 from raft_optical_flow_tpu.ops.grid import resize_bilinear
 from raft_optical_flow_tpu.ops.warp import backward_warp
@@ -35,11 +36,16 @@ class SimpleFlowConfig:
     feature_dim: int = 64
     max_displacement: int = 4
     flow_scale: float = 20.0
+    # bf16 mixed-precision serving policy (see LFN3Config.compute_dtype):
+    # conv/BN compute in bf16, params fp32, flow carried fp32, correlation
+    # L2-norm stats + dot accumulation fp32 (correlation_layer below).
+    compute_dtype: Any = jnp.float32
 
 
 def _bn(name: str, train: bool):
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=layers.scoped_dtype(), name=name,
     )
 
 
@@ -94,10 +100,13 @@ def correlation_layer(f1: jax.Array, f2: jax.Array, max_displacement: int = 4) -
     def l2norm(f):
         # clamp inside the sqrt: torch F.normalize clamps the norm, but in JAX
         # sqrt'(0) = inf leaks a NaN through the clamp (0 * inf); all-zero
-        # post-ReLU feature vectors do occur at random init
-        sumsq = jnp.sum(f * f, axis=-1, keepdims=True)
-        return f / jnp.sqrt(jnp.maximum(sumsq, 1e-24))
+        # post-ReLU feature vectors do occur at random init.
+        # stats in fp32 (bf16 sum-of-squares over C loses the normalization)
+        f32 = f.astype(jnp.float32)
+        sumsq = jnp.sum(f32 * f32, axis=-1, keepdims=True)
+        return (f32 / jnp.sqrt(jnp.maximum(sumsq, 1e-24))).astype(f.dtype)
 
+    dtype = f1.dtype
     f1 = l2norm(f1)
     f2 = l2norm(f2)
 
@@ -109,8 +118,14 @@ def correlation_layer(f1: jax.Array, f2: jax.Array, max_displacement: int = 4) -
             shifted = jax.lax.dynamic_slice(
                 f2p, (0, r - dy, r - dx, 0), (B, H, W, C)
             )
-            outs.append(jnp.sum(f1 * shifted, axis=-1))
-    return jnp.stack(outs, axis=-1)
+            # fp32 accumulation over C (upcasts fuse into the multiply-reduce);
+            # one rounding back to the feature dtype at the stack
+            outs.append(
+                jnp.sum(
+                    f1.astype(jnp.float32) * shifted.astype(jnp.float32), axis=-1
+                )
+            )
+    return jnp.stack(outs, axis=-1).astype(dtype)
 
 
 class SFFlowDecoder(nn.Module):
@@ -136,6 +151,10 @@ class SimpleFlowNet(nn.Module):
 
     @nn.compact
     def __call__(self, img1, img2, train: bool = False):
+        with layers.compute_dtype_scope(self.config.compute_dtype):
+            return self._forward(img1, img2, train)
+
+    def _forward(self, img1, img2, train: bool = False):
         cfg = self.config
         extractor = SFFeatureExtractor(cfg.feature_dim, name="feature_extractor")
         feats1 = extractor(img1, train)
@@ -158,7 +177,9 @@ class SimpleFlowNet(nn.Module):
                 )
             else:
                 x = correlation_layer(f1, f2, cfg.max_displacement)
-            flow = decoder(x)
+            # flow carried fp32 across scales under the bf16 policy: only the
+            # decoder head's own residual rounds (its conv output dtype)
+            flow = decoder(x).astype(jnp.float32)
             if prev_flow is not None:
                 flow = flow + prev_flow
             preds.append(flow)

@@ -48,7 +48,14 @@ def spatial_correlation_sample(
             shifted = jax.lax.dynamic_slice(
                 in2p, (0, pi * d, pj * d, 0), (B, H, W, C)
             )
-            outs.append(jnp.sum(in1 * shifted, axis=-1))
+            # fp32 accumulation over C even for bf16 features (the upcasts fuse
+            # into the multiply-reduce — register work, not extra HBM); one
+            # rounding back to the feature dtype below
+            outs.append(
+                jnp.sum(
+                    in1.astype(jnp.float32) * shifted.astype(jnp.float32), axis=-1
+                )
+            )
     # Getting the p^2 window maps onto the lane (last) dim is a layout trap:
     # stack(axis=-1) — and even stack(axis=1) + transpose — lets XLA propagate
     # the lane-minor output layout back into the concat operands, materializing
@@ -60,6 +67,9 @@ def spatial_correlation_sample(
     # nothing upstream inherits the padded layout. HIGHEST precision when the
     # values are fp32 (default MXU precision truncates operands to bf16).
     stacked = jnp.stack([o.reshape(B, H * W) for o in outs], axis=0)  # [p^2,B,HW]
+    # one rounding to the feature dtype (bf16 under the mixed policy) — also
+    # keeps the placement matmul off HIGHEST's 6-pass cost for bf16
+    stacked = stacked.astype(in1.dtype)
     eye = jnp.eye(p * p, dtype=stacked.dtype)
     prec = jax.lax.Precision.HIGHEST if stacked.dtype == jnp.float32 else None
     out = jax.lax.dot_general(  # [B, HW, p^2]
@@ -93,4 +103,8 @@ def translated_spatial_correlation_sample(
     coords = coords_grid(B, H, W) + flow
     pts = jnp.stack([coords[..., 0:1] + ox, coords[..., 1:2] + oy], axis=-1)
     sampled = bilinear_sampler(in2, pts, padding="zeros")  # [B, H, W, p^2, C]
-    return jnp.einsum("bhwc,bhwkc->bhwk", in1, sampled)
+    # fp32 accumulation over C; single rounding back to the feature dtype
+    out = jnp.einsum(
+        "bhwc,bhwkc->bhwk", in1, sampled, preferred_element_type=jnp.float32
+    )
+    return out.astype(in1.dtype)

@@ -20,9 +20,15 @@ from raft_optical_flow_tpu.ops.grid import bilinear_sampler, coords_grid
 
 
 def flow_to_warp(flow: jax.Array) -> jax.Array:
-    """Pixel-coordinate warp grid: coords[n,y,x] = (x, y) + flow. flow: [N,H,W,2]."""
+    """Pixel-coordinate warp grid: coords[n,y,x] = (x, y) + flow. flow: [N,H,W,2].
+
+    Coordinates are always fp32: under the bf16 compute policy a flow tensor can
+    arrive bf16, and a bf16 *grid* quantizes absolute pixel positions (bf16
+    spacing at x ~ 1024 is 4 px) — the flow values round once, the positions
+    must not.
+    """
     N, H, W, _ = flow.shape
-    return coords_grid(N, H, W, dtype=flow.dtype) + flow
+    return coords_grid(N, H, W) + flow.astype(jnp.float32)
 
 
 def backward_warp(
@@ -49,7 +55,8 @@ def warp_lfn3(x: jax.Array, flow: jax.Array, div_flow: float = 1.0) -> jax.Array
     deterministic box is the better-defined equivalent.
     """
     N, H, W, _ = x.shape
-    coords = coords_grid(N, H, W, dtype=flow.dtype) + flow / div_flow
+    # fp32 coords regardless of the flow dtype — see flow_to_warp
+    coords = coords_grid(N, H, W) + flow.astype(jnp.float32) / div_flow
     warped = bilinear_sampler(x, coords, padding="zeros")
     px, py = coords[..., 0], coords[..., 1]
     mask = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)

@@ -58,6 +58,23 @@ def test_lfn3_parity(name, config):
         np.testing.assert_allclose(ours, ref, atol=5e-4, err_msg=f"conf_pred_{i}")
 
 
+def test_lfn3_bf16_policy_close():
+    """compute_dtype=bf16 (mixed-precision serving) stays close to the fp32
+    golden and returns fp32 outputs — the CPU half of the round-5 bf16 gate
+    (the hardware half is bench_families' fidelity row)."""
+    g, out = _run("lfn3_standard", LFN3Config(compute_dtype=jnp.bfloat16))
+    flows = np.asarray(out["flows"])
+    assert flows.dtype == np.float32
+    diff = np.abs(flows.transpose(0, 1, 4, 2, 3) - g["flows"])
+    # final flow values are O(0.01-1) at these random weights; bf16 conv
+    # outputs round at ~0.4% per stage
+    assert diff.mean() < 5e-3, diff.mean()
+    assert diff.max() < 5e-2, diff.max()
+    confs = np.asarray(out["confs"])
+    assert confs.dtype == np.float32
+    assert np.abs(confs.transpose(0, 1, 4, 2, 3) - g["confs"]).mean() < 5e-3
+
+
 def test_lfn3_nondivisible_input_shapes():
     """InputScaler path: arbitrary H, W in, same H, W out."""
     g = np.load(os.path.join(GOLDENS, "lfn3_standard.npz"))

@@ -39,6 +39,25 @@ def test_simple_flow_parity():
         np.testing.assert_allclose(ours, ref, atol=1e-3, err_msg=f"flow_{i}")
 
 
+def test_simple_flow_bf16_policy_close():
+    """bf16 compute policy vs the fp32 golden (CPU half of the bf16 gate)."""
+    g, variables = _load("simple_flow")
+    img1 = jnp.asarray(g["img1"]).transpose(0, 2, 3, 1)
+    img2 = jnp.asarray(g["img2"]).transpose(0, 2, 3, 1)
+    preds = SimpleFlowNet(
+        SimpleFlowConfig(compute_dtype=jnp.bfloat16)
+    ).apply(variables, img1, img2)
+    for i, p in enumerate(preds):
+        ours = np.asarray(p)
+        assert ours.dtype == np.float32
+        diff = np.abs(ours.transpose(0, 3, 1, 2) - g[f"flow_{i}"])
+        # outputs are x20-scaled; bf16 rounds the decoder head per scale
+        # (measured mean deltas 0.003/0.009/0.020 across the three scales,
+        # ~0.3% of the flow magnitude)
+        assert diff.mean() < 4e-2, (i, diff.mean())
+        assert diff.max() < 2e-1, (i, diff.max())
+
+
 def test_simple_flow_loss_runs():
     g, variables = _load("simple_flow")
     img1 = jnp.asarray(g["img1"]).transpose(0, 2, 3, 1)
@@ -75,6 +94,22 @@ def test_ifnet_parity():
             np.asarray(warped_list[i][1]).transpose(0, 3, 1, 2), g[f"warped1_{i}"],
             atol=1e-3, err_msg=f"warped1_{i}",
         )
+
+
+def test_ifnet_bf16_policy_close():
+    """bf16 compute policy vs the fp32 golden (CPU half of the bf16 gate)."""
+    g, variables = _load("ifnet")
+    img0 = jnp.asarray(g["img0"]).transpose(0, 2, 3, 1)
+    img1 = jnp.asarray(g["img1"]).transpose(0, 2, 3, 1)
+    flow_list, mask_list, _ = IFNet(compute_dtype=jnp.bfloat16).apply(
+        variables, img0, img1, scale=(4, 2, 1), timestep=0.5
+    )
+    ours = np.asarray(flow_list[-1])
+    assert ours.dtype == np.float32
+    diff = np.abs(ours.transpose(0, 3, 1, 2) - g["flow_2"])
+    assert diff.mean() < 5e-3, diff.mean()
+    assert diff.max() < 5e-2, diff.max()
+    assert np.asarray(mask_list[-1]).dtype == np.float32
 
 
 def test_laploss_runs_and_grads():
