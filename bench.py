@@ -132,6 +132,96 @@ def fidelity_check():
     return results
 
 
+def fidelity_check_families():
+    """bf16-policy fidelity rows for the non-RAFT families + the LFN3
+    batch-16 serving-shape compile gate (round-4 VERDICT items 3/7).
+
+    Each family runs its golden fixture under compute_dtype=bf16 on this
+    backend and must stay within a bf16-rounding budget of the fp32 golden
+    (budgets derive from the CPU-measured deltas x4 hardware slack; a wrong
+    cast/policy bug shows up orders of magnitude above them). The serving
+    gate compiles ONE fp32 LiteFlowNet3 forward on [16, 436, 1024] — the
+    batched layout-propagation path that RESOURCE_EXHAUSTED'd before the
+    spatial_corr placement-matmul fix — so that compile-class regression
+    fails the driver capture instead of shipping.
+
+    Returns {name: {mean, max, ok}} or None when fixtures are missing.
+    """
+    import numpy as np
+
+    from raft_optical_flow_tpu.models.ifnet import IFNet
+    from raft_optical_flow_tpu.models.liteflownet3 import LFN3Config, LiteFlowNet3
+    from raft_optical_flow_tpu.models.simple_flow import (
+        SimpleFlowConfig,
+        SimpleFlowNet,
+    )
+    from raft_optical_flow_tpu.utils.torch_convert import load_flax_checkpoint
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    goldens = os.path.join(repo, "tests", "goldens")
+    needed = ["lfn3_standard", "simple_flow", "ifnet"]
+    if not all(
+        os.path.exists(os.path.join(goldens, f"{n}{s}.npz"))
+        for n in needed for s in ("", "_params")
+    ):
+        return None
+
+    def load(name):
+        g = np.load(os.path.join(goldens, f"{name}.npz"))
+        variables = jax.tree.map(
+            jnp.asarray,
+            load_flax_checkpoint(os.path.join(goldens, f"{name}_params.npz")),
+        )
+        return g, variables
+
+    results = {}
+
+    g, variables = load("lfn3_standard")
+    images = jnp.asarray(g["images"], jnp.float32).transpose(0, 1, 3, 4, 2)
+    model = LiteFlowNet3(LFN3Config(compute_dtype=jnp.bfloat16))
+    flows = jax.jit(lambda v, x: model.apply(v, x)["flows"])(variables, images)
+    d = np.abs(np.asarray(flows, np.float32).transpose(0, 1, 4, 2, 3) - g["flows"])
+    results["lfn3_bf16"] = {
+        "mean": round(float(d.mean()), 5), "max": round(float(d.max()), 4),
+        "ok": bool(d.mean() < 0.02)}
+
+    g, variables = load("simple_flow")
+    i1 = jnp.asarray(g["img1"], jnp.float32).transpose(0, 2, 3, 1)
+    i2 = jnp.asarray(g["img2"], jnp.float32).transpose(0, 2, 3, 1)
+    smodel = SimpleFlowNet(SimpleFlowConfig(compute_dtype=jnp.bfloat16))
+    pred = jax.jit(lambda v, a, b: smodel.apply(v, a, b)[-1])(variables, i1, i2)
+    d = np.abs(np.asarray(pred, np.float32).transpose(0, 3, 1, 2) - g["flow_2"])
+    results["simple_flow_bf16"] = {
+        "mean": round(float(d.mean()), 5), "max": round(float(d.max()), 4),
+        "ok": bool(d.mean() < 0.08)}  # x20-scaled flow units
+
+    g, variables = load("ifnet")
+    i0 = jnp.asarray(g["img0"], jnp.float32).transpose(0, 2, 3, 1)
+    i1 = jnp.asarray(g["img1"], jnp.float32).transpose(0, 2, 3, 1)
+    imodel = IFNet(compute_dtype=jnp.bfloat16)
+    flow = jax.jit(
+        lambda v, a, b: imodel.apply(v, a, b, scale=(4, 2, 1), timestep=0.5)[0][-1]
+    )(variables, i0, i1)
+    d = np.abs(np.asarray(flow, np.float32).transpose(0, 3, 1, 2) - g["flow_2"])
+    results["ifnet_bf16"] = {
+        "mean": round(float(d.mean()), 5), "max": round(float(d.max()), 4),
+        "ok": bool(d.mean() < 0.02)}
+
+    # LFN3 batch-16 serving-shape compile gate (fp32 — the risky layout path).
+    # TPU only: the point is the hardware layout-assignment path, and the
+    # 16 x 436 x 1024 program is pointlessly slow on a CPU host.
+    if jax.default_backend() != "cpu":
+        _, variables = load("lfn3_standard")
+        serve = LiteFlowNet3(LFN3Config())
+        x = jax.random.uniform(
+            jax.random.PRNGKey(0), (16, 2, 436, 1024, 3), jnp.float32)
+        out = jax.jit(lambda v, x: serve.apply(v, x)["flows"])(variables, x)
+        finite = bool(jnp.isfinite(jnp.sum(out)))
+        results["lfn3_serving_batch16_compile"] = {
+            "mean": 0.0, "max": 0.0, "ok": finite}
+    return results
+
+
 def fidelity_check_fullres():
     """One FULL-RESOLUTION demo-frame pair vs the torch golden, on this backend.
 
@@ -251,6 +341,11 @@ def main():
     fidelity = fidelity_check()
     fullres = fidelity_check_fullres()
     try:
+        families = fidelity_check_families()
+    except Exception as e:  # a compile regression (e.g. RESOURCE_EXHAUSTED) lands here
+        families = {"error": {"mean": float("inf"), "max": float("inf"),
+                              "ok": False, "exc": type(e).__name__}}
+    try:
         from raft_optical_flow_tpu.utils.grad_parity import run_all as grad_parity
 
         grads = grad_parity()
@@ -273,10 +368,13 @@ def main():
         record["fidelity_paths"] = fidelity
         if fullres is not None:
             record["fidelity_fullres_1024x436"] = fullres
+        if families is not None:
+            record["fidelity_families_bf16"] = families
         record["grad_parity_paths"] = grads
         record["fidelity_ok"] = (
             all(v["ok"] for v in fidelity.values())
             and (fullres is None or fullres["ok"])
+            and (families is None or all(v["ok"] for v in families.values()))
             and all(v["ok"] for v in grads.values())
         )
     print(json.dumps(record))

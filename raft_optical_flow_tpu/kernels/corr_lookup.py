@@ -128,6 +128,37 @@ def _lookup_level_kernel(coords_ref, corr_ref, out_ref, *, radius: int):
     out_ref[0] = flat.astype(out_ref.dtype)
 
 
+def _lookup_level_bwd_kernel_xla_unflatten(coords_ref, g_ref, dcorr_ref, *,
+                                           radius: int):
+    """Backward variant consuming an XLA-unflattened [1, QT, K, K] cotangent
+    (the round-2 design, kept switchable via RAFT_TPU_FLAT_BWD=0 for A/B
+    measurement of the flat-lane rework — round-4 VERDICT item 2; same
+    dtype-dependent precision rule and output dtype as the flat kernel)."""
+    Hl, Wl = dcorr_ref.shape[2], dcorr_ref.shape[3]
+    g = g_ref[0].astype(jnp.float32)  # [QT, K, K]
+    cx = coords_ref[0, :, 0]
+    cy = coords_ref[0, :, 1]
+    X = _tri_selector(cx, Wl, radius)
+    Y = _tri_selector(cy, Hl, radius)
+    pp = (
+        jax.lax.Precision.DEFAULT
+        if dcorr_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    t = jax.lax.dot_general(
+        g, Y,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=pp,
+    )
+    dcorr_ref[0] = jax.lax.dot_general(
+        t, X,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=pp,
+    ).astype(dcorr_ref.dtype)
+
+
 def _lookup_level_bwd_kernel(coords_ref, g_ref, dcorr_ref, g3_ref, *, radius: int):
     """Backward: d_corr[q, h, w] = sum_{a,b} Y[q,h,b] g[q,a,b] X[q,w,a].
 
@@ -229,6 +260,19 @@ def _lookup_level_fwd(corr_l, coords_l, radius, qt, interpret, Hl, Wl, out_dtype
     return out, (coords_l, jnp.zeros((0,), corr_l.dtype))
 
 
+def _flat_bwd_default() -> bool:
+    """Flat-lane cotangent backward (True, default) vs XLA-unflatten (False).
+
+    RAFT_TPU_FLAT_BWD=0 selects the round-2 design for A/B benchmarking: the
+    flat-lane rework was motivated by the ~6 x 0.9-1.7 ms relayout-copy class
+    in the round-3 train trace but re-measured ~8% slower at crop scale in
+    round 4 before the bf16-emit fix; this switch lets the decision be made
+    on measurement at HEAD instead of reverting blind."""
+    import os
+
+    return os.environ.get("RAFT_TPU_FLAT_BWD", "1") != "0"
+
+
 def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     """Gradient wrt the correlation volume, as a Pallas kernel with the same
     separable-selector structure. The coords gradient is zero: RAFT stop-gradients
@@ -250,16 +294,27 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
     # selector contractions at HIGHEST (6 MXU passes) — measured ~8% on the
     # whole bs4 368x496 train step (BENCH.md round-4 note). fp32 volumes keep
     # fp32 + HIGHEST, which is what the on-TPU grad-parity gate checks.
+    if _flat_bwd_default():
+        kernel = functools.partial(_lookup_level_bwd_kernel, radius=radius)
+        g_spec = pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0))
+        scratch = [pltpu.VMEM((qt, K, K), jnp.float32)]
+    else:
+        # A/B variant: unflatten in XLA (lane-split reshape + its relayouts)
+        g = g.reshape(B, Q, K, K)
+        kernel = functools.partial(
+            _lookup_level_bwd_kernel_xla_unflatten, radius=radius)
+        g_spec = pl.BlockSpec((1, qt, K, K), lambda b, q: (b, q, 0, 0))
+        scratch = []
     dcorr = pl.pallas_call(
-        functools.partial(_lookup_level_bwd_kernel, radius=radius),
+        kernel,
         grid=(B, -(-Q // qt)),
         in_specs=[
             pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0)),
-            pl.BlockSpec((1, qt, K * K), lambda b, q: (b, q, 0)),
+            g_spec,
         ],
         out_specs=pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Q, Hl, Wl), dtype_token.dtype),
-        scratch_shapes=[pltpu.VMEM((qt, K, K), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(coords_l, g)
     return (

@@ -61,6 +61,14 @@ class RAFTConfig:
     # only shrinks dtype). Composes with alternate_corr for the minimum-memory
     # training configuration.
     remat: bool = False
+    # jax.checkpoint on the per-iteration convex upsample in TRAINING mode:
+    # recompute its ~262 MB/iter (bs4 368x496 fp32) intermediates in the
+    # backward instead of storing them. Landed end-of-round-4 on trace evidence
+    # (the step was DMA-bound) but MEASURED A REGRESSION in round 5
+    # (tools/bench_train_ab.py: 152.6 vs 139.9 ms/step at bs4 368x496 — the
+    # recompute costs more than the DMA it saves at crop scale). Default off;
+    # available as a memory lever for shapes where HBM, not time, binds.
+    checkpoint_upsample: bool = False
     # Fused Pallas SepConvGRU (kernels/gru_fused.py) — opt-in, standard model
     # only; see models/update.py:SepConvGRU.fused for the parity trade.
     fused_gru: bool = False
@@ -170,17 +178,16 @@ class RAFTIteration(nn.Module):
         if up_mask is None:
             flow_up = upflow8(flow_lo)
         else:
-            # checkpoint: the upsample's softmax/combine intermediates are
-            # ~262 MB fp32 per iteration at bs4 368x496 — stored for backward
-            # across all 12 scanned iterations they dominated the round-4
-            # train-step DMA time (the step is DMA-bound: 105 ms DMA busy vs
-            # 96 ms compute). Recomputing them in the backward pass from the
-            # tiny inputs (flow_lo [N,h,w,2] + mask [N,h,w,576]) trades ~free
-            # VPU work for ~6 GB of HBM round-trips per step. Training only —
-            # test mode upsamples once after the scan.
-            flow_up = jax.checkpoint(convex_upsample)(
-                flow_lo, up_mask.astype(jnp.float32)
+            # checkpoint (config-gated, default OFF): recomputing the
+            # upsample's ~262 MB/iter intermediates in the backward measured
+            # SLOWER than storing them at crop scale (tools/bench_train_ab.py:
+            # 152.6 vs 139.9 ms/step) — kept as a memory lever only.
+            upsample = (
+                jax.checkpoint(convex_upsample)
+                if cfg.checkpoint_upsample
+                else convex_upsample
             )
+            flow_up = upsample(flow_lo, up_mask.astype(jnp.float32))
         return (net, coords1), flow_up
 
 

@@ -42,25 +42,27 @@ def convex_upsample(flow: jax.Array, mask: jax.Array, factor: int = 8) -> jax.Ar
 
     Returns:
       [N, factor*h, factor*w, 2].
+
+    The 9-neighbor combine is a broadcast-multiply-SUM on a FLAT f*f subpixel
+    axis — both halves measured (tools/bench_train_ab.py, bs4 368x496 train
+    step): the flat lane-sized axis avoids the 14x-padded [.., 9, 8, 8]
+    relayout copies of the naive 6-D form, and the VPU broadcast-sum beats an
+    einsum formulation by ~6 ms/step (a dot_general here either truncates the
+    fp32 softmax weights to bf16 at DEFAULT MXU precision — a real hardware
+    fidelity loss on the final output flow — or pays 6-pass HIGHEST, ~8
+    ms/step; the broadcast form is exact AND fastest).
     """
     N, h, w, _ = flow.shape
     f = factor
-    # Keep the f*f subpixel axis FLAT (lane-sized 64) instead of the naive
-    # [..., 9, f, f] 6-D form: trailing (8, 8) dims give XLA small-lane
-    # layouts whose relayout copies showed up at 0.5-1.1 ms each in the
-    # round-4 train-step trace (f32[4,46,62,9,8,8] class).
     m = mask.reshape(N, h, w, 9, f * f)
     m = jax.nn.softmax(m, axis=3)
 
     nbrs = _shifted_neighbors_3x3(float(f) * flow)  # [N, h, w, 9, 2]
-    # contract the 9 neighbors: [N,h,w,f*f,9] x [N,h,w,9,2] -> [N,h,w,f*f,2]
-    # HIGHEST when the operands are fp32 (same rule as ops/spatial_corr.py):
-    # if XLA lowers this to an MXU dot_general, DEFAULT precision would
-    # truncate the softmax weights and flow values to bf16 — invisible on
-    # CPU, a real fidelity loss on hardware (the 232bd12 failure class).
-    # This produces the final output flow, so it must not round.
-    prec = jax.lax.Precision.HIGHEST if m.dtype == jnp.float32 else None
-    up = jnp.einsum("nhwks,nhwkc->nhwsc", m, nbrs, precision=prec)
+    up = jnp.sum(
+        m[..., None].astype(jnp.float32)
+        * nbrs[:, :, :, :, None, :].astype(jnp.float32),
+        axis=3,
+    )  # [N, h, w, f*f, 2]
     # interleave subpixels: [N, h, sy, w, sx, 2] -> [N, f*h, f*w, 2]
     up = up.reshape(N, h, w, f, f, 2).transpose(0, 1, 3, 2, 4, 5)
     return up.reshape(N, f * h, f * w, 2)

@@ -180,48 +180,60 @@ def main():
                "eval bucketing path, bf16 policy",
                cost=cost_of(fwd24m, variables, (Hk, Wk, 3)))
 
+    # round-5: each non-RAFT family is timed in BOTH precisions — the fp32
+    # rows measured 0.9-1.0x HBM speed-of-light in round 4, so the bf16
+    # compute_dtype policy (halved activation bytes) is the named lever;
+    # fidelity for the bf16 policy is gated in bench.py::fidelity_check_families
     for s_version in (False, True):
         tag = "liteflownet3s" if s_version else "liteflownet3"
         want = "lfn3s" if s_version else "lfn3"
         if not only or want in only:
-            model = LiteFlowNet3(LFN3Config(use_s_version=s_version))
-            # model API: [B, 2, H, W, 3] in [0,1]; InputScaler resizes to /32 inside
-            variables = model.init(key, jnp.zeros((1, 2, 64, 64, 3)))
-            fwd = lambda v, a, b: model.apply(
-                v, jnp.stack([a, b], 1) / 255.0)["flows"]
-            t, w = time_map_fwd(fwd, variables, (H, W, 3), args.reps)
-            tb, _ = time_map_fwd(fwd, variables, (H, W, 3), args.reps, batched=True)
-            record(f"{tag} {H}x{W}", t, w,
-                   cost=cost_of(fwd, variables, (H, W, 3)), t_batched=tb)
+            variables = LiteFlowNet3(LFN3Config(use_s_version=s_version)).init(
+                key, jnp.zeros((1, 2, 64, 64, 3)))
+            for dt, dtag in ((jnp.float32, ""), (jnp.bfloat16, " bf16")):
+                model = LiteFlowNet3(
+                    LFN3Config(use_s_version=s_version, compute_dtype=dt))
+                # model API: [B, 2, H, W, 3] in [0,1]; InputScaler resizes /32
+                fwd = lambda v, a, b, m=model: m.apply(
+                    v, jnp.stack([a, b], 1) / 255.0)["flows"]
+                t, w = time_map_fwd(fwd, variables, (H, W, 3), args.reps)
+                tb, _ = time_map_fwd(fwd, variables, (H, W, 3), args.reps,
+                                     batched=True)
+                record(f"{tag}{dtag} {H}x{W}", t, w,
+                       cost=cost_of(fwd, variables, (H, W, 3)), t_batched=tb)
 
     if not only or "simple" in only or "simple256" in only:
-        model = SimpleFlowNet(SimpleFlowConfig())
-        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-        sfwd = lambda v, a, b: model.apply(v, a / 255.0, b / 255.0)[-1]
-        if not only or "simple" in only:
-            t, w = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps)
-            tb, _ = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps,
-                                 batched=True)
-            record("simple_flow 432x1024", t, w,
-                   cost=cost_of(sfwd, variables, (432, 1024, 3)), t_batched=tb)
-        if not only or "simple256" in only:
-            t, w = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps)
-            tb, _ = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps,
-                                 batched=True)
-            record("simple_flow 256x256", t, w,
-                   "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)",
-                   cost=cost_of(sfwd, variables, (256, 256, 3)), t_batched=tb)
+        variables = SimpleFlowNet(SimpleFlowConfig()).init(
+            key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        for dt, dtag in ((jnp.float32, ""), (jnp.bfloat16, " bf16")):
+            model = SimpleFlowNet(SimpleFlowConfig(compute_dtype=dt))
+            sfwd = lambda v, a, b, m=model: m.apply(v, a / 255.0, b / 255.0)[-1]
+            if not only or "simple" in only:
+                t, w = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps)
+                tb, _ = time_map_fwd(sfwd, variables, (432, 1024, 3), args.reps,
+                                     batched=True)
+                record(f"simple_flow{dtag} 432x1024", t, w,
+                       cost=cost_of(sfwd, variables, (432, 1024, 3)), t_batched=tb)
+            if not only or "simple256" in only:
+                t, w = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps)
+                tb, _ = time_map_fwd(sfwd, variables, (256, 256, 3), args.reps,
+                                     batched=True)
+                record(f"simple_flow{dtag} 256x256", t, w,
+                       "reference: ~10 ms/frame GPU (README_simple_flow.md:122-125)",
+                       cost=cost_of(sfwd, variables, (256, 256, 3)), t_batched=tb)
 
     if not only or "ifnet" in only:
-        model = IFNet()
-        variables = model.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-        ifwd = lambda v, a, b: model.apply(
-            v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1]
-        t, w = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps)
-        tb, _ = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps,
-                             batched=True)
-        record("ifnet 432x1024", t, w,
-               cost=cost_of(ifwd, variables, (432, 1024, 3)), t_batched=tb)
+        variables = IFNet().init(
+            key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+        for dt, dtag in ((jnp.float32, ""), (jnp.bfloat16, " bf16")):
+            model = IFNet(compute_dtype=dt)
+            ifwd = lambda v, a, b, m=model: m.apply(
+                v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1]
+            t, w = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps)
+            tb, _ = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps,
+                                 batched=True)
+            record(f"ifnet{dtag} 432x1024", t, w,
+                   cost=cost_of(ifwd, variables, (432, 1024, 3)), t_batched=tb)
 
     print()
     print("| model | device ms/pair | device pairs/s | batched pairs/s | "

@@ -198,10 +198,11 @@ def main():
     if args.gt_floor:
         gt_census_floor(batch_size=args.batch_size, crop=tuple(args.crop),
                         max_flow=args.max_flow)
-    for kind in kinds:
-        run(kind, args.steps, batch_size=args.batch_size,
-            crop=tuple(args.crop), traj_every=args.traj_every, lr=args.lr,
-            max_flow=args.max_flow)
+    if args.steps > 0:  # --steps 0: gt-floor-only invocation
+        for kind in kinds:
+            run(kind, args.steps, batch_size=args.batch_size,
+                crop=tuple(args.crop), traj_every=args.traj_every, lr=args.lr,
+                max_flow=args.max_flow)
 
 
 if __name__ == "__main__":
