@@ -40,17 +40,27 @@ class PReLU(nn.Module):
 
 
 class IFBlock(nn.Module):
-    """One scale level (`IFNET_m.py:71-149`)."""
+    """One scale level (`IFNET_m.py:71-149`).
+
+    `out_hw` is the cascade's full resolution; x/flow may arrive either at
+    full res (reference layout — the block downsamples them itself) or
+    already at (out_hw // scale) with flow pre-scaled (the feature_res_warp
+    path builds them there so the warp gathers run on 1/scale^2 the rows).
+    """
 
     c: int = 64
 
     @nn.compact
-    def __call__(self, x, flow: Optional[jax.Array], scale: int):
-        N, H, W, _ = x.shape
-        if scale != 1:
-            x = resize_bilinear(x, (H // scale, W // scale))
+    def __call__(self, x, flow: Optional[jax.Array], scale: int, out_hw=None):
+        if out_hw is None:
+            out_hw = x.shape[1:3]
+        H, W = out_hw
+        tgt = (H // scale, W // scale)
+        if x.shape[1:3] != tgt:
+            x = resize_bilinear(x, tgt)
         if flow is not None:
-            flow = resize_bilinear(flow, (H // scale, W // scale)) * (1.0 / scale)
+            if flow.shape[1:3] != tgt:
+                flow = resize_bilinear(flow, tgt) * (1.0 / scale)
             x = jnp.concatenate([x, flow], axis=-1)
 
         c = self.c
@@ -81,6 +91,17 @@ class IFNet(nn.Module):
     # are issue-rate-bound, not byte-bound — BENCH.md packed-tap note — so bf16
     # there would cost fidelity for no speed).
     compute_dtype: Any = jnp.float32
+    # feature_res_warp: build each block's input at its own (H/scale, W/scale)
+    # resolution and warp THERE — warp(resize(img), resize(flow)/s) instead of
+    # resize(warp(img, flow)). The gathers are issue-rate-bound (cost ~ rows),
+    # so a scale-2 block's warp pair drops to 1/4 the rows. Exact for every
+    # non-warped input channel (bilinear resize is channelwise linear, so
+    # resize(concat) == concat(resize)); the two warped channels commute the
+    # resize past the warp, an approximation that holds to O(flow curvature).
+    # Off by default — golden parity (test_ifnet_parity) uses the reference
+    # order; the serving configuration enables it (bench_families `frw` rows,
+    # closeness gated by test_ifnet_feature_res_warp_close).
+    feature_res_warp: bool = False
 
     @nn.compact
     def __call__(
@@ -107,20 +128,40 @@ class IFNet(nn.Module):
             IFBlock(90, name="block2"),
         ]
 
+        N, H, W, _ = img0.shape
         flow_list: List[jax.Array] = []
         mask_list: List[jax.Array] = []
         warped_list = []
         warped_img0, warped_img1 = img0, img1
         flow = mask = None
         for i, block in enumerate(blocks):
+            s = scale[i]
             if flow is not None:
-                flow_d, mask_d = block(
-                    jnp.concatenate(
-                        [img0, img1, ts, warped_img0, warped_img1, mask], axis=-1
-                    ),
-                    flow,
-                    scale=scale[i],
-                )
+                if self.feature_res_warp and s != 1:
+                    # build the block input directly at (H/s, W/s): resize the
+                    # non-warp channels (exact — see feature_res_warp note)
+                    # and warp the already-downsampled images by the
+                    # already-downsampled flow (1/s^2 the gather rows)
+                    tgt = (H // s, W // s)
+                    img0_s = resize_bilinear(img0, tgt)
+                    img1_s = resize_bilinear(img1, tgt)
+                    flow_s = resize_bilinear(flow, tgt) * (1.0 / s)
+                    w0 = backward_warp(img0_s, flow_s[..., :2], padding="border")
+                    w1 = backward_warp(img1_s, flow_s[..., 2:4], padding="border")
+                    x = jnp.concatenate(
+                        [img0_s, img1_s,
+                         jnp.full((N,) + tgt + (1,), timestep, img0.dtype),
+                         w0, w1, resize_bilinear(mask, tgt)], axis=-1)
+                    flow_d, mask_d = block(x, flow_s, scale=s, out_hw=(H, W))
+                else:
+                    flow_d, mask_d = block(
+                        jnp.concatenate(
+                            [img0, img1, ts, warped_img0, warped_img1, mask],
+                            axis=-1,
+                        ),
+                        flow,
+                        scale=s,
+                    )
                 # residual accumulation in fp32: each block's deconv head
                 # rounds its own delta once (bf16 policy); the accumulated
                 # flow — used as warp coordinates — must not re-round
@@ -128,12 +169,15 @@ class IFNet(nn.Module):
                 mask = mask + mask_d.astype(jnp.float32)
             else:
                 flow, mask = block(
-                    jnp.concatenate([img0, img1, ts], axis=-1), None, scale=scale[i]
+                    jnp.concatenate([img0, img1, ts], axis=-1), None, scale=s
                 )
                 flow = flow.astype(jnp.float32)
                 mask = mask.astype(jnp.float32)
             mask_list.append(nn.sigmoid(mask))
             flow_list.append(flow)
+            # full-res warps: the warped_list outputs always; the next block's
+            # input only on the reference path (under feature_res_warp a
+            # flow-only caller lets XLA DCE these entirely)
             warped_img0 = backward_warp(img0, flow[..., :2], padding="border")
             warped_img1 = backward_warp(img1, flow[..., 2:4], padding="border")
             warped_list.append((warped_img0, warped_img1))

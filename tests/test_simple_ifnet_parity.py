@@ -112,6 +112,27 @@ def test_ifnet_bf16_policy_close():
     assert np.asarray(mask_list[-1]).dtype == np.float32
 
 
+def test_ifnet_feature_res_warp_close():
+    """Serving restructure gate: warping at each block's input resolution
+    (feature_res_warp=True — the warp commutes past the downsample) must stay
+    close to the reference warp-then-downsample order. Block 0 has no incoming
+    flow so its output is bit-identical; later blocks see a ~3%-of-magnitude
+    perturbation on the two warped input channels only (measured mean 0.023 on
+    flow |mean| 0.73 for the golden fixture)."""
+    g, variables = _load("ifnet")
+    img0 = jnp.asarray(g["img0"]).transpose(0, 2, 3, 1)
+    img1 = jnp.asarray(g["img1"]).transpose(0, 2, 3, 1)
+    base, _, _ = IFNet().apply(variables, img0, img1, scale=(4, 2, 1))
+    frw, _, _ = IFNet(feature_res_warp=True).apply(
+        variables, img0, img1, scale=(4, 2, 1)
+    )
+    np.testing.assert_array_equal(np.asarray(frw[0]), np.asarray(base[0]))
+    for i in (1, 2):
+        diff = np.abs(np.asarray(frw[i]) - np.asarray(base[i]))
+        assert diff.mean() < 0.06, (i, diff.mean())
+        assert diff.max() < 0.5, (i, diff.max())
+
+
 def test_laploss_runs_and_grads():
     g, variables = _load("ifnet")
     img0 = jnp.asarray(g["img0"]).transpose(0, 2, 3, 1)

@@ -225,8 +225,13 @@ def main():
     if not only or "ifnet" in only:
         variables = IFNet().init(
             key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-        for dt, dtag in ((jnp.float32, ""), (jnp.bfloat16, " bf16")):
-            model = IFNet(compute_dtype=dt)
+        # frw = feature_res_warp serving restructure (warp at block input
+        # resolution, round-4 VERDICT item 5); closeness gated by
+        # tests/test_simple_ifnet_parity.py::test_ifnet_feature_res_warp_close
+        for dt, frw, dtag in ((jnp.float32, False, ""),
+                              (jnp.bfloat16, False, " bf16"),
+                              (jnp.bfloat16, True, " bf16 frw")):
+            model = IFNet(compute_dtype=dt, feature_res_warp=frw)
             ifwd = lambda v, a, b, m=model: m.apply(
                 v, a / 255.0, b / 255.0, scale=(4, 2, 1), timestep=0.5)[0][-1]
             t, w = time_map_fwd(ifwd, variables, (432, 1024, 3), args.reps)
