@@ -207,6 +207,17 @@ def fidelity_check_families():
         "mean": round(float(d.mean()), 5), "max": round(float(d.max()), 4),
         "ok": bool(d.mean() < 0.02)}
 
+    # the feature_res_warp serving restructure (warp at block input res):
+    # budget = bf16 rounding + the measured ~0.023 warp-commute delta
+    fmodel = IFNet(compute_dtype=jnp.bfloat16, feature_res_warp=True)
+    flow = jax.jit(
+        lambda v, a, b: fmodel.apply(v, a, b, scale=(4, 2, 1), timestep=0.5)[0][-1]
+    )(variables, i0, i1)
+    d = np.abs(np.asarray(flow, np.float32).transpose(0, 3, 1, 2) - g["flow_2"])
+    results["ifnet_bf16_frw"] = {
+        "mean": round(float(d.mean()), 5), "max": round(float(d.max()), 4),
+        "ok": bool(d.mean() < 0.06)}
+
     # LFN3 batch-16 serving-shape compile gate (fp32 — the risky layout path).
     # TPU only: the point is the hardware layout-assignment path, and the
     # 16 x 436 x 1024 program is pointlessly slow on a CPU host.
