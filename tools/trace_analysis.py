@@ -82,14 +82,16 @@ def build_train(alternate_corr=False, remat=False, batch=4, H=368, W=496,
     return run
 
 
-def build_ifnet(batch=4):
+def build_ifnet(batch=4, frw=False):
     """IFNet forward at Sintel scale, batched so per-pair times rise above the
     profiler noise (per-pair = totals / batch). Chasing the bench_families.py
     anomaly: 34 ms/pair device time at only ~22 GFLOPs — suspected XLA-gather
-    cost in the full-resolution warp cascade (`models/ifnet.py:114-115`)."""
+    cost in the full-resolution warp cascade (`models/ifnet.py:114-115`).
+    frw=True traces the feature_res_warp+bf16 serving restructure instead."""
     from raft_optical_flow_tpu.models.ifnet import IFNet
 
-    model = IFNet()
+    model = IFNet(compute_dtype=jnp.bfloat16 if frw else jnp.float32,
+                  feature_res_warp=frw)
     key = jax.random.PRNGKey(0)
     img = jax.random.uniform(key, (batch, 432, 1024, 3), jnp.float32)
     variables = model.init(key, img[:1, :64, :64], img[:1, :64, :64])
@@ -196,7 +198,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train",
                     choices=["infer", "infer_batched16", "train", "train_alt",
-                             "instnorm", "ifnet"])
+                             "instnorm", "ifnet", "ifnet_frw"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", default=None, help="keep trace dir at this path")
     args = ap.parse_args()
@@ -208,6 +210,7 @@ def main():
         "train_alt": lambda: build_train(alternate_corr=True, remat=True),
         "instnorm": build_instnorm,
         "ifnet": build_ifnet,
+        "ifnet_frw": lambda: build_ifnet(frw=True),
     }[args.mode]
     run = build()
     run()  # compile + warm
