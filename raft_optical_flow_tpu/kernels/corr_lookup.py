@@ -326,6 +326,108 @@ def _lookup_level_bwd(radius, qt, interpret, Hl, Wl, out_dtype, residuals, g):
 _lookup_level.defvjp(_lookup_level_fwd, _lookup_level_bwd)
 
 
+def _placement_at(a: int, K: int, offset: int, total: int, dtype):
+    """One-hot placement into a wider output: P[b, m] = 1 iff m == offset + a*K + b,
+    shape [K, total] — the multi-level generalization of `_placement`."""
+    b = jax.lax.broadcasted_iota(jnp.int32, (K, total), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (K, total), 1)
+    return (m == offset + a * K + b).astype(dtype)
+
+
+def _coarse_fused_kernel(coords_ref, *refs, radius: int, levels, total: int):
+    """Levels 1..L-1 of the pyramid lookup in ONE grid step (serving path).
+
+    The coarse levels carry 4^l x less data per query than level 0, so their
+    per-level pallas_call cost is launch/grid overhead, not DMA (BENCH.md
+    "coarse lookup levels ~2 ms each vs ~0.5 ms of pure DMA"). Fusing them
+    into one call amortizes that overhead 3x while their block stack still
+    fits VMEM comfortably (level 0 stays separate — residency for all four
+    levels would force qt <= 96, the measured failure of the all-levels
+    variant above).
+
+    coords_ref: VMEM [1, QT, 2] LEVEL-0 (x, y) centers; refs = per-level corr
+    blocks [1, QT, Hl, Wl] + out [1, QT, total]; `levels` = [(lvl, Hl, Wl)]
+    with lvl the true pyramid level (coords scale 1/2^lvl); window k-order and
+    level-concat order match the per-level kernels exactly via placement
+    offsets lvl_index*K^2 + a*K.
+    """
+    K = 2 * radius + 1
+    out_ref = refs[len(levels)]
+    flat = None
+    for i, (lvl, Hl, Wl) in enumerate(levels):
+        corr = refs[i][0]
+        scale = 1.0 / (2.0 ** lvl)
+        cx = coords_ref[0, :, 0] * scale
+        cy = coords_ref[0, :, 1] * scale
+        X = _tri_selector(cx, Wl, radius).astype(corr.dtype)
+        Y = _tri_selector(cy, Hl, radius).astype(corr.dtype)
+        u = jax.lax.dot_general(
+            X, corr,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        win = jax.lax.dot_general(
+            u, Y.astype(u.dtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # same dtype-dependent precision rule as `_lookup_level_kernel`
+        pp = (
+            jax.lax.Precision.DEFAULT
+            if out_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
+        for a in range(K):
+            part = jax.lax.dot_general(
+                win[:, a, :], _placement_at(a, K, i * K * K, total, win.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=pp,
+            )
+            flat = part if flat is None else flat + part
+    out_ref[0] = flat.astype(out_ref.dtype)
+
+
+def _coarse_fused_lookup(pyramid_tail, coords_flat, radius: int, interpret: bool,
+                         out_dtype, level_offset: int = 1):
+    """Forward-only fused lookup over the coarse pyramid levels.
+
+    pyramid_tail: [B, Q, Hl, Wl] volumes for levels `level_offset`..L-1
+    (empty levels must be filtered by the caller). Returns [B, Q, n*K^2] in
+    the same order as concatenating the per-level lookups. Serving path only
+    (test_mode) — no VJP is defined; training uses the per-level custom-VJP
+    kernels.
+    """
+    B, Q = coords_flat.shape[:2]
+    K = 2 * radius + 1
+    levels = [
+        (level_offset + i, c.shape[2], c.shape[3])
+        for i, c in enumerate(pyramid_tail)
+    ]
+    total = len(levels) * K * K
+
+    # query tile from a VMEM byte budget: double-buffered blocks store the
+    # TILED shapes (sublane pad to 8, lane pad to 128), which is the real
+    # footprint for these narrow coarse levels
+    pad = lambda v, m: -(-v // m) * m
+    itemsize = jnp.dtype(pyramid_tail[0].dtype).itemsize
+    bytes_per_q = sum(pad(Hl, 8) * pad(Wl, 128) for _, Hl, Wl in levels) * itemsize
+    qt = int(max(64, min(512, (6 * 2**20) // (2 * bytes_per_q) // 32 * 32)))
+
+    in_specs = [pl.BlockSpec((1, qt, 2), lambda b, q: (b, q, 0))]
+    for _, Hl, Wl in levels:
+        in_specs.append(pl.BlockSpec((1, qt, Hl, Wl), lambda b, q: (b, q, 0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _coarse_fused_kernel, radius=radius, levels=levels, total=total),
+        grid=(B, -(-Q // qt)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, qt, total), lambda b, q: (b, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Q, total), out_dtype),
+        interpret=interpret,
+    )(coords_flat, *pyramid_tail)
+
+
 def _fused_lookup_kernel(coords_ref, *refs, radius: int, levels: int):
     """All pyramid levels in one grid step. refs = (corr_0..corr_{L-1}, out).
 
@@ -416,6 +518,7 @@ def corr_pyramid_lookup_pallas(
     qt: int | None = None,
     interpret: bool | None = None,
     out_dtype=jnp.float32,
+    fuse_coarse: bool = False,
 ) -> jax.Array:
     """Drop-in Pallas replacement for `ops.corr.corr_pyramid_lookup`.
 
@@ -423,6 +526,10 @@ def corr_pyramid_lookup_pallas(
     coords: [B, h, w, 2] level-0 pixel coords (x, y), Q = h*w row-major.
     out_dtype: window feature dtype (fp32 accumulation either way; pass bf16
       under the mixed-precision policy to skip a separate convert pass).
+    fuse_coarse: run levels 1..L-1 through ONE pallas_call (amortizes the
+      per-level launch/grid overhead that dominates their cost). Forward-only
+      — the serving/test_mode path sets it; training keeps the per-level
+      custom-VJP kernels.
     Returns [B, h, w, L*(2r+1)^2], levels concatenated coarse-last.
     """
     if interpret is None:
@@ -449,11 +556,36 @@ def corr_pyramid_lookup_pallas(
         # (measured ~3 ms/call in-model at Sintel size); fp32 at 256 overflows
         # the scoped-vmem budget with double-buffered [qt, H/8, W/8] blocks.
         qt = 256 if pyramid[0].dtype == jnp.bfloat16 else 128
+    # fused-coarse applies to the contiguous non-empty coarse prefix (empty
+    # tail levels — floor-mode pooling at tiny crops — keep their zeros path)
+    fused_from = None
+    if fuse_coarse and len(pyramid) > 2:
+        tail = [
+            c for c in pyramid[1:] if c.shape[2] > 0 and c.shape[3] > 0
+        ]
+        if len(tail) == len(pyramid) - 1:
+            fused_from = 1
+        elif len(tail) >= 2:
+            fused_from = 1  # fuse the non-empty prefix, zeros for the rest
+
     outs = []
     for lvl, corr_l in enumerate(pyramid):
+        Hl, Wl = corr_l.shape[2], corr_l.shape[3]
+        if fused_from is not None and lvl == fused_from:
+            tail = [
+                c for c in pyramid[lvl:] if c.shape[2] > 0 and c.shape[3] > 0
+            ]
+            outs.append(
+                _coarse_fused_lookup(
+                    tail, coords_flat, radius, interpret, out_dtype,
+                    level_offset=lvl,
+                )
+            )
+            for c in pyramid[lvl + len(tail):]:
+                outs.append(jnp.zeros((B, h * w, K * K), out_dtype))
+            break
         coords_l = coords_flat / jnp.float32(2.0**lvl)
         qt_l = min(qt * 4**lvl, cap)
-        Hl, Wl = corr_l.shape[2], corr_l.shape[3]
         if Hl == 0 or Wl == 0:
             # floor-mode pooling empties a level once h or w reaches 1 (e.g.
             # 48-pixel-high selfsup student crops: 6 -> 3 -> 1 -> 0). Every tap

@@ -145,9 +145,20 @@ class RAFTIteration(nn.Module):
             )
 
             # windows come out of the kernel already in the compute dtype
-            # (fp32-accumulated, single rounding) — no separate convert pass
+            # (fp32-accumulated, single rounding) — no separate convert pass.
+            # Serving (test_mode) fuses the coarse levels into one pallas_call
+            # (forward-only kernel; their per-level cost is launch overhead,
+            # not DMA — BENCH.md open-leads); training keeps the per-level
+            # custom-VJP kernels. RAFT_TPU_FUSE_COARSE=0 switches it off.
+            import os as _os
+
+            fuse = (
+                self.test_mode
+                and _os.environ.get("RAFT_TPU_FUSE_COARSE", "1") != "0"
+            )
             corr = corr_pyramid_lookup_pallas(
-                corr_state, coords1, cfg.corr_radius, out_dtype=cfg.compute_dtype
+                corr_state, coords1, cfg.corr_radius,
+                out_dtype=cfg.compute_dtype, fuse_coarse=fuse,
             )
         else:
             corr = corr_pyramid_lookup(corr_state, coords1, cfg.corr_radius)

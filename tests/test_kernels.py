@@ -60,6 +60,34 @@ def test_pallas_lookup_far_out_of_bounds():
 
 
 @pytest.mark.parametrize("radius", [3, 4])
+def test_pallas_lookup_fuse_coarse_matches_xla(radius):
+    """Serving path: levels 1..L-1 fused into one pallas_call must match the
+    per-level XLA reference exactly (same selector math, placement offsets)."""
+    fmap1, fmap2, coords = _make_inputs(seed=7)
+    pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 4)
+    ref = np.asarray(corr_pyramid_lookup(pyr, coords, radius))
+    ours = np.asarray(
+        corr_pyramid_lookup_pallas(
+            pyr, coords, radius, interpret=True, fuse_coarse=True
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_lookup_fuse_coarse_empty_level():
+    """Tiny crops empty the deepest level(s); the fused path must fuse the
+    non-empty prefix and zero-fill the rest, matching the XLA reference."""
+    fmap1, fmap2, coords = _make_inputs(seed=8, H=6, W=8)
+    pyr = build_corr_pyramid(all_pairs_correlation(fmap1, fmap2), 4)
+    assert pyr[-1].shape[2] == 0  # the case under test
+    ref = np.asarray(corr_pyramid_lookup(pyr, coords, 3))
+    ours = np.asarray(
+        corr_pyramid_lookup_pallas(pyr, coords, 3, interpret=True, fuse_coarse=True)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("radius", [3, 4])
 def test_ondemand_matches_xla_sampling(radius):
     fmap1, fmap2, coords = _make_inputs(seed=3)
     pyr = _f2_pyramid(fmap2, 4)
